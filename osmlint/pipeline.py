@@ -1,0 +1,300 @@
+# -*- coding: utf-8 -*-
+"""Ray Data pipelines: read → decode → tile-join → checks → flags → aggregates.
+
+Physical shape (cf. the reference's one-OS-process-per-map execution,
+src/main.py:223-232 — here parallelism is per block, map identity is data):
+
+* documents are read with column pruning (doc_id, spans only);
+* decode + cell indexing are stateless ``map_batches`` tasks over zero-copy
+  Arrow batches;
+* the PIP tile join and the check kernels are actor pools whose state
+  (STRtree of admin polygons, wiki/wikidata lookup tables, transliteration
+  tables) is built once per actor from a ``ray.put`` broadcast;
+* per-source last-wins dedup (src/sources/osm_source.py:43) and the
+  cross-source first-wins merge (src/main.py:95-112) are explicit keyed
+  shuffles with a deterministic ordering column (seq / map_order);
+* report aggregations (src/main.py:52-92) pre-aggregate inside map_batches
+  and reduce over the tiny per-key partials.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from . import checks as checks_mod
+from . import config as config_mod
+from . import geo, spans, synth
+
+CELL_RES = 8  # quad-cell resolution for locality/grouping (≈0.17° cells)
+
+
+def _resolve(ref):
+    """Accept a ray.ObjectRef (broadcast) or a plain object (tests)."""
+    if ref is None or isinstance(ref, (pd.DataFrame, dict)):
+        return ref
+    return ray.get(ref)
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+def read_documents(data_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(data_dir, "docs"),
+                           columns=["doc_id", "spans"])
+
+
+def decode_and_index(batch: pa.Table) -> pa.Table:
+    """spans -> flat columns + quad-cell ids (stateless, vectorized)."""
+    flat = spans.decode_batch(batch)
+    lat = flat["lat"].to_numpy(zero_copy_only=False)
+    lon = flat["lon"].to_numpy(zero_copy_only=False)
+    cell = geo.cell_id(lat, lon, CELL_RES)
+    mort = geo.morton_cell(lat, lon, CELL_RES)
+    flat = flat.append_column("cell_id", pa.array(cell, type=pa.int64()))
+    flat = flat.append_column("morton", pa.array(mort, type=pa.int64()))
+    return flat
+
+
+class PipAssign:
+    """Actor-pool stage: STRtree point-in-polygon assignment of each doc to
+    a country polygon (priority order, first wins) and an okrug tile."""
+
+    def __init__(self, countries_ref, tiles_ref):
+        countries = _resolve(countries_ref)
+        tiles = _resolve(tiles_ref)
+        self.countries = countries.sort_values("priority")
+        self.c_index = geo.PolygonIndex([
+            (r.country,
+             [r.minlat, r.minlat, r.maxlat, r.maxlat],
+             [r.minlon, r.maxlon, r.maxlon, r.minlon])
+            for r in self.countries.itertuples()])
+        self.t_index = geo.PolygonIndex([
+            (r.tile_name,
+             [r.minlat, r.minlat, r.maxlat, r.maxlat],
+             [r.minlon, r.maxlon, r.maxlon, r.minlon])
+            for r in tiles.itertuples()])
+        self.c_names = np.array(list(self.c_index.names) + [None], dtype=object)
+        self.t_names = np.array(list(self.t_index.names) + [None], dtype=object)
+        self.t_ids = np.append(tiles["tile_id"].to_numpy(), -1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        ci = self.c_index.assign(lat, lon)
+        ti = self.t_index.assign(lat, lon)
+        batch = batch.append_column("country", pa.array(self.c_names[ci]))
+        batch = batch.append_column("tile_id", pa.array(self.t_ids[ti],
+                                                        type=pa.int64()))
+        batch = batch.append_column("tile_name", pa.array(self.t_names[ti]))
+        return batch
+
+
+class FlagStage:
+    """Actor-pool stage: run every configured map-check suite that reads this
+    batch's map partition; emit flags rows (result model src/engine.py:62-86)."""
+
+    def __init__(self, wiki_ref_ref=None, wikidata_ref_ref=None, map_checks=None):
+        wiki_ref = _resolve(wiki_ref_ref)
+        wikidata_ref = _resolve(wikidata_ref_ref)
+        self.wiki_ref = wiki_ref
+        self.wikidata_ref = (wikidata_ref.set_index("qid")
+                             if wikidata_ref is not None else None)
+        self.by_slug = {}
+        for mc in (map_checks or config_mod.default_map_checks()):
+            self.by_slug.setdefault(mc.slug, []).append(mc)
+
+    def flags_for(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Flags for one single-map flat DataFrame (all configured suites)."""
+        out = []
+        have_name = (df["name"].notna() & (df["name"] != "")).to_numpy()
+        disp = df["name"].where(pd.Series(have_name, index=df.index),
+                                df["osm_id"].astype(str))
+        have_sr = df["name_sr"].notna().to_numpy()
+        disp = disp.where(~have_sr, disp + " / " + df["name_sr"].fillna(""))
+        for slug, grp in ([(df["map_slug"].iat[0], df)]
+                          if df["map_slug"].nunique() == 1
+                          else df.groupby("map_slug", sort=False)):
+            for mc in self.by_slug.get(slug, []):
+                ctx = checks_mod.Ctx(grp, mc.serbia_mode,
+                                     self.wiki_ref, self.wikidata_ref)
+                for fqn in mc.checks:
+                    chk = checks_mod.CHECKS[fqn]
+                    app, msg = chk.run(ctx)
+                    idx = np.nonzero(app)[0]
+                    if len(idx) == 0:
+                        continue
+                    m = msg[idx]
+                    iserr = m != ""
+                    out.append(pd.DataFrame({
+                        "doc_id": grp["doc_id"].to_numpy()[idx],
+                        "map_name": mc.map_name,
+                        "osm_id": grp["osm_id"].to_numpy()[idx],
+                        "seq": grp["seq"].to_numpy()[idx],
+                        "display_name": disp.to_numpy()[idx] if grp is df
+                        else disp.loc[grp.index].to_numpy()[idx],
+                        "entity_type": grp["entity_type"].to_numpy()[idx],
+                        "check_name": fqn,
+                        "result": np.where(iserr, "CHECKED_ERROR", "CHECKED_OK"),
+                        "message": m,
+                        "fixable": iserr & chk.fixable,
+                    }))
+        if not out:
+            return _empty_flags()
+        return pd.concat(out, ignore_index=True)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([c for c in batch.column_names]).to_pandas()
+        return self.flags_for(df)
+
+
+def _empty_flags() -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": pd.Series(dtype=object), "map_name": pd.Series(dtype=object),
+        "osm_id": pd.Series(dtype=np.int64), "seq": pd.Series(dtype=np.int64),
+        "display_name": pd.Series(dtype=object),
+        "entity_type": pd.Series(dtype=object),
+        "check_name": pd.Series(dtype=object), "result": pd.Series(dtype=object),
+        "message": pd.Series(dtype=object), "fixable": pd.Series(dtype=bool),
+    })
+
+
+# ---------------------------------------------------------------------------
+# wide steps
+# ---------------------------------------------------------------------------
+
+def auto_concurrency(n_pools: int = 2) -> int:
+    """Actor-pool size that leaves CPUs for the stateless read/decode/shuffle
+    stages: a pool that reserves every CPU starves the rest of the pipeline
+    and the streaming executor stalls (observed at num_cpus=4)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, (cpus - 2) // n_pools)
+
+
+def dedup_last_wins(flags: rd.Dataset) -> rd.Dataset:
+    """Per-map last-wins dedup by bare entity id (A5,
+    src/sources/osm_source.py:43): keep the flag rows of the highest-seq doc
+    per (map_name, osm_id)."""
+    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g[g["seq"] == g["seq"].max()]
+    return flags.groupby(["map_name", "osm_id"]).map_groups(
+        keep_last, batch_format="pandas")
+
+
+def broadcast_refs(data_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    refs = {}
+    for name in ("wiki_ref", "wikidata_ref", "tiles", "countries"):
+        df = pq.read_table(os.path.join(data_dir, f"{name}.parquet")).to_pandas()
+        refs[name] = ray.put(df)
+    return refs
+
+
+def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
+                  concurrency: int | None = None,
+                  batch_size: int = 8192) -> rd.Dataset:
+    """The flagship lint pipeline as a lazy Dataset."""
+    if concurrency is None:
+        concurrency = auto_concurrency(2 if with_pip else 1)
+    refs = broadcast_refs(data_dir)
+    ds = read_documents(data_dir)
+    ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
+    if with_pip:
+        ds = ds.map_batches(PipAssign, batch_format="pyarrow",
+                            fn_constructor_kwargs={
+                                "countries_ref": refs["countries"],
+                                "tiles_ref": refs["tiles"]},
+                            concurrency=concurrency, batch_size=batch_size)
+    ds = ds.map_batches(FlagStage, batch_format="pyarrow",
+                        fn_constructor_kwargs={
+                            "wiki_ref_ref": refs["wiki_ref"],
+                            "wikidata_ref_ref": refs["wikidata_ref"]},
+                        concurrency=concurrency, batch_size=batch_size)
+    if dedup:
+        ds = dedup_last_wins(ds)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# report aggregations (A1–A3, src/main.py:44-123)
+# ---------------------------------------------------------------------------
+
+def summary_per_map(flags: rd.Dataset) -> pd.DataFrame:
+    """A1 (src/main.py:52-76): per map, #entities with ≥1 result, #error
+    results, #fixable error results."""
+    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
+        err = (g["result"] == "CHECKED_ERROR")
+        return pd.DataFrame({
+            "map_name": [g["map_name"].iat[0]],
+            "n_err": [int(err.sum())],
+            "n_fix": [int((err & g["fixable"]).sum())],
+        })
+    per_ent = flags.groupby(["map_name", "osm_id"]).map_groups(
+        per_entity, batch_format="pandas")
+    agg = per_ent.groupby("map_name").aggregate(
+        Count(alias_name="count_map_checks"),
+        Sum("n_err", alias_name="count_map_errors"),
+        Sum("n_fix", alias_name="count_map_fixable_errors"))
+    df = agg.to_pandas().sort_values("map_name").reset_index(drop=True)
+    for c in df.columns[1:]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def per_check_type(flags: rd.Dataset) -> pd.DataFrame:
+    """A2 (src/main.py:79-92): per check FQN, total results + non-OK count."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("check_name", sort=False)
+        out = g.agg(n=("check_name", "size"),
+                    n_err=("result", lambda s: int((s != "CHECKED_OK").sum())))
+        return out.reset_index()
+    p = flags.map_batches(partial, batch_format="pandas")
+    agg = p.groupby("check_name").aggregate(
+        Sum("n", alias_name="count_total_checks"),
+        Sum("n_err", alias_name="count_total_errors"))
+    df = agg.to_pandas().sort_values("check_name").reset_index(drop=True)
+    df["explanation"] = df["check_name"].map(
+        lambda f: checks_mod.CHECKS[f].explanation)
+    for c in ("count_total_checks", "count_total_errors"):
+        df[c] = df[c].astype(np.int64)
+    return df[["check_name", "explanation", "count_total_checks",
+               "count_total_errors"]]
+
+
+MAP_ORDER = {mc.map_name: i for i, mc in
+             enumerate(config_mod.default_map_checks())}
+
+
+def merge_overall(flags: rd.Dataset) -> rd.Dataset:
+    """A3 (src/main.py:95-112): strip the '(source)' suffix, merge per-entity
+    check dicts across sources of the same overall map, first-wins on
+    (entity, check).  'First' is the deterministic config order (the
+    reference's dict-insertion order is completion-order nondeterministic —
+    documented divergence)."""
+    def add_overall(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["map_overall"] = df["map_name"].str.split(" (", regex=False).str[0]
+        df["map_order"] = df["map_name"].map(MAP_ORDER).astype(np.int64)
+        return df
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.loc[g["map_order"].idxmin()]
+        g = g.sort_values(["check_name", "map_order"], kind="stable")
+        g = g.drop_duplicates("check_name", keep="first").copy()
+        g["display_name"] = first["display_name"]
+        g["entity_type"] = first["entity_type"]
+        return g.drop(columns=["map_order"])
+
+    with_overall = flags.map_batches(add_overall, batch_format="pandas")
+    return with_overall.groupby(["map_overall", "osm_id"]).map_groups(
+        merge_group, batch_format="pandas")

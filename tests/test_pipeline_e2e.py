@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""End-to-end Ray Data pipeline tests: read -> decode -> PIP -> checks ->
+flags -> dedup -> aggregates, asserted against the oracle."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from osmlint import config, oracle, pipeline, spans
+
+
+@pytest.fixture(scope="module")
+def flags_df(ray_session, synth_small):
+    ds = pipeline.flags_dataset(synth_small, concurrency=1, batch_size=2048)
+    return ds.to_pandas()
+
+
+def _oracle_flags(synth_small):
+    wiki_d, wd_d = oracle.load_refs(synth_small)
+    flat = spans.decode_batch(pq.read_table(synth_small + "/docs").select(
+        ["doc_id", "spans"])).to_pandas()
+    out = []
+    for mc in config.default_map_checks():
+        sub = flat[flat.map_slug == mc.slug].reset_index(drop=True)
+        out.append(oracle.flags_for_map(sub, mc.map_name, list(mc.checks),
+                                        wiki_d, wd_d))
+    return pd.concat(out, ignore_index=True)
+
+
+def test_flags_match_oracle(flags_df, synth_small):
+    exp = _oracle_flags(synth_small)
+    key = ["map_name", "doc_id", "check_name"]
+    g = flags_df.sort_values(key).reset_index(drop=True)[list(exp.columns)]
+    e = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_summary_per_map(ray_session, flags_df, synth_small):
+    import ray.data as rd
+    got = pipeline.summary_per_map(rd.from_pandas(flags_df))
+    exp = _oracle_flags(synth_small)
+    # A1 oracle: per map, #entities / #errors / #fixable errors
+    e = exp.groupby("map_name").apply(
+        lambda g: pd.Series({
+            "count_map_checks": g["osm_id"].nunique(),
+            "count_map_errors": int((g["result"] == "CHECKED_ERROR").sum()),
+            "count_map_fixable_errors": int(
+                ((g["result"] == "CHECKED_ERROR") & g["fixable"]).sum()),
+        }), include_groups=False).reset_index().sort_values("map_name")
+    g = got.sort_values("map_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e.reset_index(drop=True), check_dtype=False)
+
+
+def test_per_check_type(ray_session, flags_df, synth_small):
+    import ray.data as rd
+    got = pipeline.per_check_type(rd.from_pandas(flags_df))
+    exp = _oracle_flags(synth_small)
+    e = exp.groupby("check_name").apply(
+        lambda g: pd.Series({
+            "count_total_checks": len(g),
+            "count_total_errors": int((g["result"] != "CHECKED_OK").sum()),
+        }), include_groups=False).reset_index().sort_values("check_name")
+    g = got[["check_name", "count_total_checks", "count_total_errors"]]
+    pd.testing.assert_frame_equal(g.reset_index(drop=True),
+                                  e.reset_index(drop=True), check_dtype=False)
+    assert got["explanation"].notna().all()
+
+
+def test_merge_overall(ray_session, flags_df):
+    import ray.data as rd
+    merged = pipeline.merge_overall(rd.from_pandas(flags_df)).to_pandas()
+    # overall names are group names without the source suffix
+    assert set(merged["map_overall"]) == {
+        "Serbia checks", "Checks outside of Serbia", "Serbia checks extended"}
+    # first-wins: at most one row per (overall, entity, check)
+    dup = merged.groupby(["map_overall", "osm_id", "check_name"]).size()
+    assert (dup == 1).all()
+    # a serbia entity flagged by both PBF and a sophox map keeps distinct checks
+    serbia = merged[merged["map_overall"] == "Serbia checks"]
+    assert (serbia.groupby("osm_id")["check_name"].nunique() >= 1).all()
+
+
+def test_pip_assignment(ray_session, synth_small):
+    ds = pipeline.read_documents(synth_small)
+    ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+    refs = pipeline.broadcast_refs(synth_small)
+    ds = ds.map_batches(pipeline.PipAssign, batch_format="pyarrow",
+                        fn_constructor_kwargs={
+                            "countries_ref": refs["countries"],
+                            "tiles_ref": refs["tiles"]},
+                        concurrency=1, batch_size=2048)
+    df = ds.to_pandas()
+    # oracle: priority-ordered bbox containment
+    countries = pq.read_table(synth_small + "/countries.parquet").to_pandas()
+    import numpy as np
+    exp = np.full(len(df), None, dtype=object)
+    for r in countries.sort_values("priority", ascending=False).itertuples():
+        hit = (df["lat"].between(r.minlat, r.maxlat)
+               & df["lon"].between(r.minlon, r.maxlon)).to_numpy()
+        exp[hit] = r.country
+    assert (pd.Series(exp).fillna("-") == df["country"].fillna("-")).all()
+    # tiles: every serbia-core point got a tile
+    tiles = pq.read_table(synth_small + "/tiles.parquet").to_pandas()
+    in_core = (df["lat"].between(tiles.minlat.min(), tiles.maxlat.max())
+               & df["lon"].between(tiles.minlon.min(), tiles.maxlon.max()))
+    assert (df.loc[in_core, "tile_id"] >= 0).mean() > 0.999
