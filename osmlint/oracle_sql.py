@@ -1,0 +1,360 @@
+# -*- coding: utf-8 -*-
+"""DuckDB oracle SQL generation for the driver's correctness gate.
+
+Every SQL-expressible pipeline in ``osmlint.queries`` gets an equivalent
+ANSI/DuckDB SQL string here, generated programmatically from the same
+constants (check registry, map-check config, transliteration tables) but
+re-expressed as SQL over the *flat* parquet table — an independent
+formulation: the Ray side decodes the span-document table
+(``docs/``), the SQL side reads ``flat.parquet`` directly, so span
+encode/decode is cross-checked too.
+
+Check semantics follow the reference (file:line cites in osmlint.checks);
+the SQL mirrors the engine's arithmetic order exactly (e.g. the haversine
+formula, reference src/haversine.py:10-34) so float-formatted messages
+(`{0:.2f}` km distances, src/checks.py:30 region) hash-match.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from . import config as config_mod
+from .checks import CHECKS, VALID_BOXES
+from .translit import CYR_TO_LAT, LAT2CYR_STEPS, ROMANIZE_STEPS
+
+_BOXES_JOINED = ",".join(VALID_BOXES)
+_CYR_CLASS = "".join(CYR_TO_LAT)
+
+
+def q(s: str) -> str:
+    """SQL single-quote a literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def replace_chain(expr: str, steps) -> str:
+    return reduce(lambda e, kv: f"replace({e},{q(kv[0])},{q(kv[1])})", steps, expr)
+
+
+def cyr2lat_sql(expr: str) -> str:
+    """Char-wise Cyrillic->Latin (reference src/transliteration.py:20-27).
+
+    Inputs are disjoint single chars and outputs are Latin (never Cyrillic),
+    so a replace chain in any order equals the char-wise map."""
+    return replace_chain(expr, list(CYR_TO_LAT.items()))
+
+
+def lat2cyr_sql(expr: str) -> str:
+    """Query-side Latin->Cyrillic REPLACE chain, exact sparql order (X5)."""
+    return replace_chain(expr, LAT2CYR_STEPS)
+
+
+def romanize_sql(expr: str) -> str:
+    return replace_chain(expr, ROMANIZE_STEPS)
+
+
+def has_cyr_sql(expr: str) -> str:
+    return f"regexp_matches({expr}, '[{_CYR_CLASS}]')"
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Mirrors osmlint.geo.haversine_km term-for-term (radians per operand,
+    squares as self-multiplication — numpy's x**2 fast path)."""
+    sdlat = f"sin((radians({lat2})-radians({lat1}))*0.5)"
+    sdlon = f"sin((radians({lon2})-radians({lon1}))*0.5)"
+    d = (f"({sdlat}*{sdlat} + cos(radians({lat1}))*cos(radians({lat2}))"
+         f"*{sdlon}*{sdlon})")
+    return f"(2.0*6371.0*asin(sqrt({d})))"
+
+
+# ---------------------------------------------------------------------------
+# base CTEs over the synthetic data directory
+# ---------------------------------------------------------------------------
+
+def base_ctes(d: str) -> str:
+    """CTEs: flat + wiki/wikidata joins + derived guard columns."""
+    return f"""
+flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+wiki AS (SELECT * FROM read_parquet({q(d + '/wiki_ref.parquet')})),
+wdref AS (SELECT * FROM read_parquet({q(d + '/wikidata_ref.parquet')})),
+countries AS (SELECT * FROM read_parquet({q(d + '/countries.parquet')})),
+tiles AS (SELECT * FROM read_parquet({q(d + '/tiles.parquet')})),
+base AS (
+  SELECT f.*,
+    coalesce(f.place, '(unknown place type)') AS place_disp,
+    CASE WHEN f.name IS NOT NULL AND f.name <> '' THEN f.name
+         ELSE CAST(f.osm_id AS VARCHAR) END AS name_or_id,
+    (f.place IN ('city','town','village')) AS ctv,
+    (f.is_in_country IS NULL OR f.is_in_country = 'Serbia') AS country_ok,
+    (f.name IS NOT NULL AND f.name <> '') AS have_name,
+    (f.name_sr IS NOT NULL AND f.name_sr <> '') AS have_sr,
+    (f.name_sr_latn IS NOT NULL AND f.name_sr_latn <> '') AS have_latn,
+    CASE WHEN f.wikipedia LIKE 'sr:%' THEN f.wikipedia[4:] END AS sr_title,
+    w."exists" AS wiki_exists, w.has_box AS wiki_has_box,
+    w.wiki_lat AS wiki_lat, w.wiki_lon AS wiki_lon,
+    wd.label_sr AS wd_label,
+    (CASE WHEN f.name IS NOT NULL AND f.name <> '' THEN f.name
+          ELSE CAST(f.osm_id AS VARCHAR) END
+     || CASE WHEN f.name_sr IS NOT NULL THEN ' / ' || f.name_sr ELSE '' END)
+      AS display_name
+  FROM flat f
+  LEFT JOIN wiki w
+    ON w.title = CASE WHEN f.wikipedia LIKE 'sr:%' THEN f.wikipedia[4:] END
+  LEFT JOIN wdref wd ON wd.qid = f.wikidata
+)"""
+
+
+# ---------------------------------------------------------------------------
+# per-check (applicability, message) SQL expressions
+# ---------------------------------------------------------------------------
+
+def _msg(err: str, *pieces: str) -> str:
+    cat = " || ".join(f"coalesce({p}, '')" if not p.startswith("'") else p
+                      for p in pieces)
+    return f"CASE WHEN {err} THEN {cat} ELSE '' END"
+
+
+def check_exprs(fqn: str, serbia_mode: bool) -> tuple[str, str]:
+    """(applicable_expr, message_expr) over alias-free ``base`` columns."""
+    if fqn == "checks.NameMissingCheck":
+        return "ctv", _msg("NOT have_name", "'Name missing for '", "place_disp",
+                           "' with id '", "CAST(osm_id AS VARCHAR)", "': '",
+                           "doc_id")
+    if fqn == "checks.NameCyrillicCheck":
+        if serbia_mode:
+            checked, nm = "(have_name AND country_ok)", "name"
+        else:
+            checked, nm = "have_sr", "name_sr"
+        err = f"({checked} AND NOT {has_cyr_sql(nm)})"
+        return "ctv", _msg(err, "'Seems that '", "place_disp",
+                           "' name is not in cyrillic for \"'", nm, "'\"'")
+    if fqn == "checks.LatinNameExistsCheck":
+        err = "(NOT have_latn)" if serbia_mode else "(NOT have_latn AND have_sr)"
+        return "ctv", _msg(err, "'Latin name missing for '", "place_disp", "' '",
+                           "name_or_id")
+    if fqn == "checks.LatinNameSameAsCyrillicCheck":
+        cyr = "name" if serbia_mode else "name_sr"
+        err = (f"({cyr} IS NOT NULL AND name_sr_latn IS NOT NULL AND country_ok"
+               f" AND {cyr2lat_sql(cyr)} <> name_sr_latn)")
+        return "ctv", _msg(err, "'Latin name '", "name_sr_latn", "' for '",
+                           "place_disp", "' '", cyr,
+                           "' is not properly transliterated'")
+    if fqn == "checks.LatinNameNotInCyrillicCheck":
+        err = (f"(name IS NOT NULL AND name_sr_latn IS NOT NULL AND "
+               f"{has_cyr_sql('name_sr_latn')})")
+        return "ctv", _msg(err, "'There is cyrillic in '", "place_disp",
+                           "' name '", "name", "' for latin version '",
+                           "name_sr_latn")
+    if fqn == "checks.WikipediaEntryExistsCheck":
+        err = "(country_ok AND wikipedia IS NULL)"
+        return "ctv", _msg(err, "'Wikipedia missing for '", "place", "' '",
+                           "name_or_id")
+    if fqn == "checks.WikipediaEntryIsInSerbianCheck":
+        err = ("(wikipedia IS NOT NULL AND country_ok AND "
+               "wikipedia NOT LIKE 'sr:%')")
+        return "ctv", _msg(err, "'Wikipedia entry is '", "wikipedia",
+                           "' and is not in Serbian for '", "place", "' '",
+                           "name_or_id")
+    if fqn == "checks.WikipediaEntryValidCheck":
+        checked = ("(name IS NOT NULL AND wikipedia IS NOT NULL AND "
+                   "sr_title IS NOT NULL AND country_ok)")
+        hav = haversine_sql("wiki_lat", "wiki_lon", "lat", "lon")
+        msg = f"""CASE
+  WHEN NOT {checked} THEN ''
+  WHEN wiki_exists IS DISTINCT FROM TRUE THEN
+    'Wikipedia entry ' || sr_title || ' is not valid for ' || place || ' ' || name_or_id
+  WHEN wiki_has_box IS DISTINCT FROM TRUE THEN
+    'Cannot calculate distance as Wikipedia article ' || sr_title ||
+    ' does not contain any of valid boxes ' || {q(_BOXES_JOINED)}
+  WHEN wiki_lat IS NULL THEN
+    'Wikipedia entry ' || sr_title || ' is missing latitude or longitude'
+  WHEN {hav} > 20.0 THEN
+    'Wikipedia and OSM entries are more than 20km apart (' ||
+    printf('%.2f', {hav}) || ' km) for place ' || name_or_id || '.'
+  ELSE '' END"""
+        return "ctv", msg
+    if fqn == "checks.WikidataEntryExistsCheck":
+        err = "(country_ok AND wikidata IS NULL)"
+        return "ctv", _msg(err, "'Wikidata missing for '", "place", "' '",
+                           "name_or_id")
+    if fqn == "checks.WikidataEntryValidCheck":
+        err = "(wikidata IS NOT NULL AND country_ok AND wd_label IS NULL)"
+        return "ctv", _msg(err, "'Wikidata entry '", "wikidata", "' for '",
+                           "place", "' '", "name_or_id", "' wrong'")
+    if fqn == "checks.WikipediaAndWikidataInSyncCheck":
+        err = ("(wikipedia IS NOT NULL AND wikidata IS NOT NULL AND country_ok"
+               " AND wd_label IS NOT NULL"
+               " AND wd_label <> coalesce(wikipedia[4:], ''))")
+        return "ctv", _msg(err, "'Wikidata entry '", "wikidata", "' for '",
+                           "place", "' '", "name_or_id",
+                           "' doesn''t match wikipedia entry ('", "wikipedia",
+                           "')for it'")
+    if fqn == "checks.IsInCountryCheck":
+        err = "(is_in_country IS NULL)"
+        return "ctv", _msg(err, "'is_in:country missing for '", "place", "' '",
+                           "name_or_id")
+    if fqn == "checks.GenericSophoxCheck":
+        app = "(origin = 'sophox')"
+        msg = ("replace(coalesce(check_description, 'no description'), '{0}', "
+               "name_or_id)")
+        return app, f"CASE WHEN {app} THEN {msg} ELSE '' END"
+    if fqn == "checks_extended.RemoveLatinName":
+        return "ctv", _msg("have_latn", "'Latin name missing for '",
+                           "place_disp", "' '", "name_or_id")
+    raise KeyError(fqn)
+
+
+def flags_cte(d: str) -> str:
+    """allflags + dedup CTEs (last-wins per (map_name, osm_id) by seq —
+    reference src/sources/osm_source.py:43)."""
+    selects = []
+    for mc in config_mod.default_map_checks():
+        for fqn in mc.checks:
+            app, msg = check_exprs(fqn, mc.serbia_mode)
+            fixable = "TRUE" if CHECKS[fqn].fixable else "FALSE"
+            selects.append(f"""
+SELECT doc_id, {q(mc.map_name)} AS map_name, osm_id, seq, display_name,
+       entity_type, {q(fqn)} AS check_name,
+       CASE WHEN msg <> '' THEN 'CHECKED_ERROR' ELSE 'CHECKED_OK' END AS result,
+       msg AS message, (msg <> '' AND {fixable}) AS fixable
+FROM (SELECT *, {msg} AS msg FROM base
+      WHERE map_slug = {q(mc.slug)} AND {app})""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""{base_ctes(d)},
+allflags AS ({union}),
+dedup AS (
+  SELECT doc_id, map_name, osm_id, seq, display_name, entity_type,
+         check_name, result, message, fixable
+  FROM (SELECT a.*, max(seq) OVER (PARTITION BY map_name, osm_id) AS mxseq
+        FROM allflags a)
+  WHERE seq = mxseq
+)"""
+
+
+# ---------------------------------------------------------------------------
+# full oracle statements
+# ---------------------------------------------------------------------------
+
+def lint_flags_sql(d: str) -> str:
+    return f"WITH {flags_cte(d)} SELECT * FROM dedup"
+
+
+def lint_summary_per_map_sql(d: str) -> str:
+    # A1, reference src/main.py:52-76
+    return f"""WITH {flags_cte(d)}
+SELECT map_name,
+       CAST(count(DISTINCT osm_id) AS BIGINT) AS count_map_checks,
+       CAST(sum(CASE WHEN result = 'CHECKED_ERROR' THEN 1 ELSE 0 END) AS BIGINT)
+         AS count_map_errors,
+       CAST(sum(CASE WHEN result = 'CHECKED_ERROR' AND fixable THEN 1 ELSE 0 END)
+         AS BIGINT) AS count_map_fixable_errors
+FROM dedup GROUP BY map_name ORDER BY map_name"""
+
+
+def lint_per_check_type_sql(d: str) -> str:
+    # A2, reference src/main.py:79-92
+    expl = " ".join(
+        f"WHEN {q(fqn)} THEN {q(c.explanation)}" for fqn, c in CHECKS.items())
+    return f"""WITH {flags_cte(d)}
+SELECT check_name, CASE check_name {expl} END AS explanation,
+       CAST(count(*) AS BIGINT) AS count_total_checks,
+       CAST(sum(CASE WHEN result <> 'CHECKED_OK' THEN 1 ELSE 0 END) AS BIGINT)
+         AS count_total_errors
+FROM dedup GROUP BY check_name ORDER BY check_name"""
+
+
+def lint_merge_overall_sql(d: str) -> str:
+    # A3, reference src/main.py:95-112 (first-wins in deterministic config order)
+    order_case = " ".join(
+        f"WHEN {q(m)} THEN {i}" for m, i in
+        ((mc.map_name, i) for i, mc in enumerate(config_mod.default_map_checks())))
+    return f"""WITH {flags_cte(d)},
+mo AS (
+  SELECT d.*, str_split(map_name, ' (')[1] AS map_overall,
+         CASE map_name {order_case} END AS map_order
+  FROM dedup d
+),
+firsts AS (
+  SELECT map_overall, osm_id,
+         arg_min(display_name, map_order) AS first_display,
+         arg_min(entity_type, map_order) AS first_etype
+  FROM mo GROUP BY map_overall, osm_id
+)
+SELECT m.doc_id, m.map_name, m.osm_id, m.seq,
+       f.first_display AS display_name, f.first_etype AS entity_type,
+       m.check_name, m.result, m.message, m.fixable, m.map_overall
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY map_overall, osm_id, check_name ORDER BY map_order) AS rn
+      FROM mo) m
+JOIN firsts f USING (map_overall, osm_id)
+WHERE m.rn = 1"""
+
+
+def pip_assign_cte(d: str) -> str:
+    """country (priority first-wins) + tile assignment per flat row.
+
+    The synthetic admin polygons are axis-aligned rectangles by construction
+    (synth.py) so the oracle is a bbox join; the engine runs the general
+    STRtree + ray-cast path over the same polygons."""
+    return f"""{base_ctes(d)},
+cassign AS (
+  SELECT b.map_slug, b.seq, b.doc_id, c.country,
+         row_number() OVER (PARTITION BY b.map_slug, b.seq
+                            ORDER BY c.priority) AS rn
+  FROM base b JOIN countries c
+    ON b.lat >= c.minlat AND b.lat < c.maxlat
+   AND b.lon >= c.minlon AND b.lon < c.maxlon
+),
+pip AS (
+  SELECT b.*, ca.country AS pip_country, t.tile_id AS pip_tile_id,
+         t.tile_name AS pip_tile_name
+  FROM base b
+  LEFT JOIN (SELECT * FROM cassign WHERE rn = 1) ca
+    ON ca.map_slug = b.map_slug AND ca.seq = b.seq
+  LEFT JOIN tiles t
+    ON b.lat >= t.minlat AND b.lat < t.maxlat
+   AND b.lon >= t.minlon AND b.lon < t.maxlon
+)"""
+
+
+def pip_tile_join_sql(d: str) -> str:
+    return f"""WITH {pip_assign_cte(d)}
+SELECT coalesce(pip_country, '(none)') AS country,
+       coalesce(pip_tile_name, '(none)') AS tile_name,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pip GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def cell_sql(res: int, lat: str = "lat", lon: str = "lon") -> str:
+    n = 1 << res
+    ix = f"least(greatest(CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    iy = f"least(greatest(CAST(floor((90.0 - {lat}) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    return f"({iy} * {n} + {ix})"
+
+
+def cell_index_sql(d: str, res: int) -> str:
+    return f"""WITH {base_ctes(d)}
+SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM base GROUP BY 1 ORDER BY 1"""
+
+
+def knn_dup_names_sql(d: str, radius_km: float) -> str:
+    """Duplicate-name pairs: same name, both CTV, within radius, serbia map.
+
+    Brute-force self-join oracle; the engine does the cell-groupby + neighbor
+    replication path."""
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""WITH {base_ctes(d)},
+named AS (
+  SELECT doc_id, name, lat, lon
+  FROM (SELECT b.*, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY seq DESC) AS rn
+        FROM base b
+        WHERE map_slug = 'serbia_pbf' AND ctv AND name IS NOT NULL)
+  WHERE rn = 1
+)
+SELECT a.name AS name, a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM named a JOIN named b
+  ON a.name = b.name AND a.doc_id < b.doc_id
+WHERE {hav} <= {radius_km!r}
+ORDER BY 1, 2, 3"""

@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from . import checks as checks_mod
 from . import config as config_mod
@@ -181,14 +181,37 @@ def auto_concurrency(n_pools: int = 2) -> int:
     return max(1, (cpus - 2) // n_pools)
 
 
-def dedup_last_wins(flags: rd.Dataset) -> rd.Dataset:
+N_BUCKETS = 64     # coarse shuffle key: ~#CPUs×2 groups per map; raise with scale
+
+
+def _bucket_of(osm_id: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket of the entity id (stable across processes)."""
+    h = (osm_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return (h >> np.uint64(40)).astype(np.int64) % n_buckets
+
+
+def _with_bucket(n_buckets: int):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = _bucket_of(df["osm_id"].to_numpy(), n_buckets)
+        return df
+    return add
+
+
+def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset:
     """Per-map last-wins dedup by bare entity id (A5,
     src/sources/osm_source.py:43): keep the flag rows of the highest-seq doc
-    per (map_name, osm_id)."""
-    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g[g["seq"] == g["seq"].max()]
-    return flags.groupby(["map_name", "osm_id"]).map_groups(
-        keep_last, batch_format="pandas")
+    per (map_name, osm_id).
+
+    Shuffle shape: groupby a coarse (map, id-hash-bucket) key — a bounded
+    number of groups each holding thousands of entities — then a VECTORIZED
+    pandas transform inside the group.  Never one Python call per entity."""
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g.groupby("osm_id", sort=False)["seq"].transform("max")
+        return g[g["seq"] == mx].drop(columns="_b")
+    return (flags.map_batches(_with_bucket(n_buckets), batch_format="pandas")
+            .groupby(["map_name", "_b"])
+            .map_groups(drop_dups, batch_format="pandas"))
 
 
 def broadcast_refs(data_dir: str) -> dict:
@@ -229,20 +252,37 @@ def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
 # report aggregations (A1–A3, src/main.py:44-123)
 # ---------------------------------------------------------------------------
 
-def summary_per_map(flags: rd.Dataset) -> pd.DataFrame:
+def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFrame:
     """A1 (src/main.py:52-76): per map, #entities with ≥1 result, #error
-    results, #fixable error results."""
-    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
-        err = (g["result"] == "CHECKED_ERROR")
+    results, #fixable error results.
+
+    Three-level reduction, all vectorized: per-batch partials (map, id →
+    err/fix sums) → per-(map, id-bucket) distinct-entity counts → tiny
+    global groupby(map) sum."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        err = (df["result"] == "CHECKED_ERROR")
+        out = (pd.DataFrame({
+            "map_name": df["map_name"], "osm_id": df["osm_id"],
+            "e": err.astype(np.int64),
+            "f": (err & df["fixable"]).astype(np.int64)})
+            .groupby(["map_name", "osm_id"], sort=False, as_index=False).sum())
+        out["_b"] = _bucket_of(out["osm_id"].to_numpy(), n_buckets)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ent = g.groupby("osm_id", sort=False)[["e", "f"]].sum()
         return pd.DataFrame({
             "map_name": [g["map_name"].iat[0]],
-            "n_err": [int(err.sum())],
-            "n_fix": [int((err & g["fixable"]).sum())],
+            "n_ent": [np.int64(len(ent))],
+            "n_err": [ent["e"].sum()],
+            "n_fix": [ent["f"].sum()],
         })
-    per_ent = flags.groupby(["map_name", "osm_id"]).map_groups(
-        per_entity, batch_format="pandas")
-    agg = per_ent.groupby("map_name").aggregate(
-        Count(alias_name="count_map_checks"),
+
+    p = (flags.map_batches(partial, batch_format="pandas")
+         .groupby(["map_name", "_b"])
+         .map_groups(per_bucket, batch_format="pandas"))
+    agg = p.groupby("map_name").aggregate(
+        Sum("n_ent", alias_name="count_map_checks"),
         Sum("n_err", alias_name="count_map_errors"),
         Sum("n_fix", alias_name="count_map_fixable_errors"))
     df = agg.to_pandas().sort_values("map_name").reset_index(drop=True)
@@ -281,20 +321,26 @@ def merge_overall(flags: rd.Dataset) -> rd.Dataset:
     (entity, check).  'First' is the deterministic config order (the
     reference's dict-insertion order is completion-order nondeterministic —
     documented divergence)."""
+    n_buckets = N_BUCKETS
+
     def add_overall(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["map_overall"] = df["map_name"].str.split(" (", regex=False).str[0]
         df["map_order"] = df["map_name"].map(MAP_ORDER).astype(np.int64)
+        df["_b"] = _bucket_of(df["osm_id"].to_numpy(), n_buckets)
         return df
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        first = g.loc[g["map_order"].idxmin()]
-        g = g.sort_values(["check_name", "map_order"], kind="stable")
-        g = g.drop_duplicates("check_name", keep="first").copy()
-        g["display_name"] = first["display_name"]
-        g["entity_type"] = first["entity_type"]
-        return g.drop(columns=["map_order"])
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over every entity in the (overall, bucket) group:
+        # first-wins row per (entity, check); display/entity_type from the
+        # entity's lowest-map_order row (reference src/main.py:108-112)
+        g = g.sort_values(["osm_id", "map_order"], kind="stable")
+        firsts = g.drop_duplicates("osm_id", keep="first").set_index("osm_id")
+        kept = g.drop_duplicates(["osm_id", "check_name"], keep="first").copy()
+        kept["display_name"] = kept["osm_id"].map(firsts["display_name"]).to_numpy()
+        kept["entity_type"] = kept["osm_id"].map(firsts["entity_type"]).to_numpy()
+        return kept.drop(columns=["map_order", "_b"])
 
     with_overall = flags.map_batches(add_overall, batch_format="pandas")
-    return with_overall.groupby(["map_overall", "osm_id"]).map_groups(
-        merge_group, batch_format="pandas")
+    return with_overall.groupby(["map_overall", "_b"]).map_groups(
+        merge_bucket, batch_format="pandas")

@@ -1,0 +1,136 @@
+# -*- coding: utf-8 -*-
+"""Driver-facing query registry: Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry is one pipeline/operator from SURVEY.md §2 (plus the engine's
+scale extensions).  The callable takes ``sf_dir`` (the driver's testdata
+directory, e.g. ``/root/testdata/sf0.01``); lint queries run over the
+deterministic synthetic span-document tables generated (and cached) for the
+matching scale token, training-data queries run directly over the driver's
+``documents`` / ``embeddings`` / ``events`` parquet tables.
+
+Column names are identical between the Ray result and the oracle SQL by
+construction (the driver hash-compares value sets after sorting columns by
+name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from . import dupnames, oracle_sql, pipeline, synth
+
+CELL_RES = pipeline.CELL_RES
+KNN_RADIUS_KM = dupnames.DEFAULT_RADIUS_KM
+
+
+def _synth(sf_dir: str) -> str:
+    """Deterministic synthetic lint tables for this scale (cached)."""
+    return synth.generate(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# lint family (synthetic Serbia-extent span docs)
+# ---------------------------------------------------------------------------
+
+def lint_flags(sf_dir: str) -> rd.Dataset:
+    return pipeline.flags_dataset(_synth(sf_dir))
+
+
+def lint_summary_per_map(sf_dir: str) -> pd.DataFrame:
+    return pipeline.summary_per_map(pipeline.flags_dataset(_synth(sf_dir)))
+
+
+def lint_per_check_type(sf_dir: str) -> pd.DataFrame:
+    return pipeline.per_check_type(pipeline.flags_dataset(_synth(sf_dir)))
+
+
+def lint_merge_overall(sf_dir: str) -> rd.Dataset:
+    return pipeline.merge_overall(pipeline.flags_dataset(_synth(sf_dir)))
+
+
+def _decoded(data_dir: str, with_pip: bool) -> rd.Dataset:
+    ds = pipeline.read_documents(data_dir)
+    ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+    if with_pip:
+        refs = pipeline.broadcast_refs(data_dir)
+        ds = ds.map_batches(
+            pipeline.PipAssign, batch_format="pyarrow",
+            fn_constructor_kwargs={"countries_ref": refs["countries"],
+                                   "tiles_ref": refs["tiles"]},
+            concurrency=pipeline.auto_concurrency(1), batch_size=8192)
+    return ds
+
+
+def pip_tile_join(sf_dir: str) -> pd.DataFrame:
+    """Docs per (country, okrug tile): STRtree PIP assignment + pre-aggregated
+    count (combine inside map_batches, tiny global groupby)."""
+    ds = _decoded(_synth(sf_dir), with_pip=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["country", "tile_name"]).to_pandas()
+        df = df.fillna("(none)")
+        out = df.groupby(["country", "tile_name"], sort=False).size()
+        return out.reset_index(name="n")
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["country", "tile_name"])
+           .aggregate(Sum("n", alias_name="n_docs")))
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df.sort_values(["country", "tile_name"]).reset_index(drop=True)
+
+
+def cell_index(sf_dir: str) -> pd.DataFrame:
+    """Docs per quad-cell at res 8 (the locality/shuffle key)."""
+    ds = _decoded(_synth(sf_dir), with_pip=False)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pd.DataFrame({"cell_id": uniq, "n": counts})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("cell_id").aggregate(Sum("n", alias_name="n_docs")))
+    df = agg.to_pandas()
+    df["cell_id"] = df["cell_id"].astype(np.int64)
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df.sort_values("cell_id").reset_index(drop=True)
+
+
+def knn_dup_names(sf_dir: str) -> rd.Dataset:
+    return dupnames.dup_name_pairs(_synth(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def ray_queries() -> dict:
+    return {
+        "lint_flags": lint_flags,
+        "lint_summary_per_map": lint_summary_per_map,
+        "lint_per_check_type": lint_per_check_type,
+        "lint_merge_overall": lint_merge_overall,
+        "pip_tile_join": pip_tile_join,
+        "cell_index": cell_index,
+        "knn_dup_names": knn_dup_names,
+    }
+
+
+def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Oracle SQL strings for the driver's sf0.01 comparison.  Generating
+    here also materializes the synthetic tables the SQL reads."""
+    d = _synth(sf_dir)
+    return {
+        "lint_flags": oracle_sql.lint_flags_sql(d),
+        "lint_summary_per_map": oracle_sql.lint_summary_per_map_sql(d),
+        "lint_per_check_type": oracle_sql.lint_per_check_type_sql(d),
+        "lint_merge_overall": oracle_sql.lint_merge_overall_sql(d),
+        "pip_tile_join": oracle_sql.pip_tile_join_sql(d),
+        "cell_index": oracle_sql.cell_index_sql(d, CELL_RES),
+        "knn_dup_names": oracle_sql.knn_dup_names_sql(d, KNN_RADIUS_KM),
+    }
