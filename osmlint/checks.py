@@ -94,14 +94,21 @@ class Ctx:
 
     @property
     def wiki_join(self) -> pd.DataFrame:
-        """Left-join of sr: wikipedia titles against wiki_ref (once per batch)."""
+        """Hash-probe of sr: wikipedia titles against the wiki_ref lookup.
+
+        The reference table is indexed ONCE (per actor/worker via FlagStage;
+        here only as a fallback for ad-hoc callers) and each batch is a
+        ``reindex`` probe — never a per-batch merge that would re-hash the
+        whole reference table."""
         if "wiki_join" not in self._cache:
             wp = self.df["wikipedia"]
             title = wp.str.slice(3).where(wp.fillna("").str.startswith("sr:"))
-            j = pd.DataFrame({"title": title})
-            j = j.merge(self.wiki_ref.drop_duplicates("title"), how="left",
-                        on="title")
+            ref = self.wiki_ref
+            if ref.index.name != "title":
+                ref = ref.drop_duplicates("title").set_index("title")
+            j = ref.reindex(title.to_numpy())
             j.index = self.df.index
+            j["title"] = title
             self._cache["wiki_join"] = j
         return self._cache["wiki_join"]
 

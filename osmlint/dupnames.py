@@ -40,6 +40,10 @@ DEFAULT_RES = 12          # 2^12 grid: ~4.9 km cell height > radius 2 km
 DEFAULT_RADIUS_KM = 2.0
 N_BUCKETS = 16
 
+NAMED_SCHEMA = pa.schema([("doc_id", pa.string()), ("seq", pa.int64()),
+                          ("name", pa.string()), ("lat", pa.float64()),
+                          ("lon", pa.float64()), ("_b", pa.int64())])
+
 
 def _stable_bucket(names: pd.Series, n_buckets: int) -> np.ndarray:
     """Deterministic (unsalted-hash) name bucket, stable across processes."""
@@ -77,10 +81,10 @@ def replicate_to_cells(batch: pa.Table, *, res: int, group_res: int,
         "lat": lat[rows], "lon": lon[rows],
     })
     out["bucket"] = _stable_bucket(out["name"], n_buckets)
-    return out
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def pairs_in_group(g: pd.DataFrame, *, radius_km: float) -> pd.DataFrame:
+def pairs_in_group(g: pd.DataFrame, *, radius_km: float) -> pa.Table:
     """Anchor-driven same-(cell, name) pairs within one (gcell, bucket)
     group — one vectorized merge over thousands of docs, not a Python call
     per fine cell."""
@@ -94,43 +98,77 @@ def pairs_in_group(g: pd.DataFrame, *, radius_km: float) -> pd.DataFrame:
     d = geo.haversine_km(m["lat_a"].to_numpy(), m["lon_a"].to_numpy(),
                          m["lat_b"].to_numpy(), m["lon_b"].to_numpy())
     m = m[d <= radius_km]
-    return pd.DataFrame({"name": m["name"].to_numpy(),
-                         "doc_a": m["doc_id_a"].to_numpy(),
-                         "doc_b": m["doc_id_b"].to_numpy()})
+    return pa.Table.from_pandas(
+        pd.DataFrame({"name": m["name"].to_numpy(),
+                      "doc_a": m["doc_id_a"].to_numpy(),
+                      "doc_b": m["doc_id_b"].to_numpy()}),
+        schema=PAIRS_SCHEMA, preserve_index=False)
 
 
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({"name": pd.Series(dtype=object),
-                         "doc_a": pd.Series(dtype=object),
-                         "doc_b": pd.Series(dtype=object)})
+PAIRS_SCHEMA = pa.schema([("name", pa.string()), ("doc_a", pa.string()),
+                          ("doc_b", pa.string())])
+
+
+def _empty_pairs() -> pa.Table:
+    return PAIRS_SCHEMA.empty_table()
+
+
+MAX_NAME_FREQ = 64    # stop-name cap: names more frequent than this are
+                      # "common names" (the reference domain's Zipf-hot street
+                      # names), not duplicate candidates — and their pair
+                      # count is quadratic, so the cap also bounds output size
 
 
 def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
                    radius_km: float = DEFAULT_RADIUS_KM,
                    res: int = DEFAULT_RES,
                    group_res: int = 8,
-                   n_buckets: int = N_BUCKETS) -> rd.Dataset:
+                   n_buckets: int = N_BUCKETS,
+                   max_name_freq: int = MAX_NAME_FREQ) -> rd.Dataset:
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
 
-    def named_ctv(batch: pa.Table) -> pd.DataFrame:
+    def named_ctv(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         keep = (df["map_slug"] == map_slug) & df["place"].isin(
             ("city", "town", "village")) & df["name"].notna()
         out = df.loc[keep, ["doc_id", "seq", "name", "lat", "lon"]]
         out["_b"] = (pd.util.hash_array(out["doc_id"].to_numpy(dtype=object))
                      % np.uint64(64)).astype(np.int64)
-        return out
+        return pa.Table.from_pandas(out, schema=NAMED_SCHEMA,
+                                    preserve_index=False)
 
     ds = ds.map_batches(named_ctv, batch_format="pyarrow")
 
     # per-doc dedup (doc_id collisions are rare but must be deterministic):
     # bucketed groupby + vectorized in-group transform, never per-doc Python
-    def keep_last(g: pd.DataFrame) -> pd.DataFrame:
+    def keep_last(g: pd.DataFrame) -> pa.Table:
         mx = g.groupby("doc_id", sort=False)["seq"].transform("max")
         g = g[g["seq"] == mx]
-        return g.drop_duplicates("doc_id").drop(columns="_b")
+        return pa.Table.from_pandas(
+            g.drop_duplicates("doc_id").drop(columns="_b"),
+            preserve_index=False)
     ds = ds.groupby("_b").map_groups(keep_last, batch_format="pandas")
+
+    # stop-name cap: count names distributedly (per-batch partials + tiny
+    # groupby), broadcast the SMALL hot-name set, filter before replication.
+    # The named-CTV subset is a small fraction of the input, so one
+    # materialize here lets both the count pass and the pair pass reuse it.
+    ds = ds.materialize()
+
+    def name_partial(df: pd.DataFrame) -> pa.Table:
+        c = df.groupby("name", sort=False).size()
+        return pa.Table.from_pandas(c.reset_index(name="c"),
+                                    preserve_index=False)
+    from ray.data.aggregate import Sum as _Sum
+    freq = (ds.map_batches(name_partial, batch_format="pandas")
+            .groupby("name").aggregate(_Sum("c", alias_name="c")))
+    hot = set(r["name"] for r in
+              freq.filter(lambda r: r["c"] > max_name_freq).take_all())
+
+    def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df["name"].isin(hot)]
+    ds = ds.map_batches(drop_hot, batch_format="pandas")
 
     ds = ds.map_batches(replicate_to_cells, batch_format="pyarrow",
                         fn_kwargs={"res": res, "group_res": group_res,

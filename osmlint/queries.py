@@ -70,11 +70,12 @@ def pip_tile_join(sf_dir: str) -> pd.DataFrame:
     count (combine inside map_batches, tiny global groupby)."""
     ds = _decoded(_synth(sf_dir), with_pip=True)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["country", "tile_name"]).to_pandas()
         df = df.fillna("(none)")
         out = df.groupby(["country", "tile_name"], sort=False).size()
-        return out.reset_index(name="n")
+        return pa.Table.from_pandas(out.reset_index(name="n"),
+                                    preserve_index=False)
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["country", "tile_name"])
@@ -88,10 +89,11 @@ def cell_index(sf_dir: str) -> pd.DataFrame:
     """Docs per quad-cell at res 8 (the locality/shuffle key)."""
     ds = _decoded(_synth(sf_dir), with_pip=False)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         cells = batch["cell_id"].to_numpy(zero_copy_only=False)
         uniq, counts = np.unique(cells, return_counts=True)
-        return pd.DataFrame({"cell_id": uniq, "n": counts})
+        return pa.table({"cell_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("cell_id").aggregate(Sum("n", alias_name="n_docs")))
@@ -132,5 +134,6 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lint_merge_overall": oracle_sql.lint_merge_overall_sql(d),
         "pip_tile_join": oracle_sql.pip_tile_join_sql(d),
         "cell_index": oracle_sql.cell_index_sql(d, CELL_RES),
-        "knn_dup_names": oracle_sql.knn_dup_names_sql(d, KNN_RADIUS_KM),
+        "knn_dup_names": oracle_sql.knn_dup_names_sql(
+            d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
     }
