@@ -1,0 +1,160 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over the driver ``embeddings`` table
+(vec_id:int64, embedding:list<float>, label:int32).
+
+* ``topk_neighbors`` — brute-force cosine top-k per query: the query matrix
+  is broadcast once (``ray.put``), each batch does one numpy matmul and
+  emits a PER-BATCH top-k partial; the driver reduces the tiny partials.
+* ``cosine_pairs`` — all-pairs cosine ≥ τ with the full (normalized) matrix
+  broadcast; each batch computes batch×all sims blockwise.  This is the
+  exact baseline the SQL oracle checks.
+* ``cosine_pairs_lsh`` — the scale path: random-hyperplane signatures,
+  groupby (table, signature) buckets, exact verify inside buckets.
+  Approximate recall — rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def read_embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = batch["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // max(1, len(ids))
+    return ids, flat.reshape(len(ids), dim).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return m / np.maximum(n, 1e-30)
+
+
+def topk_neighbors(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    q_tbl = tbl.filter(pa.compute.less(tbl["vec_id"], n_queries))
+    q_ids, q_mat = _batch_matrix(q_tbl)
+    q_ref = ray.put((q_ids, _normalize(q_mat)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids, m = _batch_matrix(batch)
+        sims = _normalize(m) @ qm.T                      # (batch, nq)
+        kk = min(k + 1, len(ids))                        # +1: self may be here
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows, qcols, s = [], [], []
+        for c in range(sims.shape[1]):
+            rows.append(ids[top[:, c]])
+            qcols.append(np.full(kk, qi[c], dtype=np.int64))
+            s.append(sims[top[:, c], c])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qcols)),
+            "neighbor_id": pa.array(np.concatenate(rows)),
+            "sim": pa.array(np.concatenate(s), type=pa.float64())})
+
+    parts = read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True], kind="stable")
+    top = parts.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    out = top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return out
+
+
+def cosine_pairs(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
+    """Exact near-duplicate pairs: cosine ≥ τ, vec_a < vec_b (brute
+    baseline; full normalized matrix broadcast once, batch×all matmul)."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    all_ids, all_mat = _batch_matrix(tbl)
+    ref = ray.put((all_ids, _normalize(all_mat)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aids, am = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        sims = _normalize(m) @ am.T
+        bi, aj = np.nonzero(sims >= tau)
+        a = ids[bi]; b = aids[aj]
+        keep = a < b
+        return pa.table({"vec_a": pa.array(a[keep], type=pa.int64()),
+                         "vec_b": pa.array(b[keep], type=pa.int64())})
+
+    df = read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                           "vec_b": pd.Series(dtype=np.int64)})
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+N_TABLES = 8
+N_BITS = 12
+_rng = np.random.default_rng(77)
+
+
+def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64) -> pd.DataFrame:
+    """Scale path: random-hyperplane LSH buckets + exact verify in-bucket."""
+    planes = _rng.standard_normal((N_TABLES, N_BITS, dim))
+    planes_ref = ray.put(planes)
+
+    def sign_batch(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m)
+        out_t, out_sig, out_id, out_vec = [], [], [], []
+        for t in range(N_TABLES):
+            bits = (mn @ pl[t].T) > 0                          # (n, N_BITS)
+            sig = (bits.astype(np.uint64)
+                   << np.arange(N_BITS, dtype=np.uint64)).sum(axis=1)
+            out_t.append(np.full(len(ids), t, dtype=np.int64))
+            out_sig.append(sig.astype(np.int64))
+            out_id.append(ids)
+            out_vec.append(mn)
+        return pa.table({
+            "table": pa.array(np.concatenate(out_t)),
+            "sig": pa.array(np.concatenate(out_sig)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "vec": pa.array(list(np.concatenate(out_vec, axis=0)),
+                            type=pa.list_(pa.float64()))})
+
+    def verify(g: pd.DataFrame, tau: float) -> pa.Table:
+        g = g.sort_values("vec_id").drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64())})
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        i, j = np.nonzero(np.triu(sims >= tau, k=1))
+        return pa.table({"vec_a": pa.array(ids[i], type=pa.int64()),
+                         "vec_b": pa.array(ids[j], type=pa.int64())})
+
+    ds = read_embeddings(sf_dir).map_batches(sign_batch, batch_format="pyarrow")
+    pairs = ds.groupby(["table", "sig"]).map_groups(
+        verify, batch_format="pandas", fn_kwargs={"tau": tau})
+    df = pairs.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                           "vec_b": pd.Series(dtype=np.int64)})
+    df = df.drop_duplicates(["vec_a", "vec_b"])
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

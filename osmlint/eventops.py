@@ -1,0 +1,100 @@
+# -*- coding: utf-8 -*-
+"""Streaming-style event operators over the driver ``events`` table
+(event_id, ts:timestamp, user_id, event_type, value:double, props:json).
+
+* ``window_agg`` — tumbling 1-hour window aggregate per event_type:
+  per-batch Arrow partials (floor ts to hour, local groupby) → small global
+  groupby.  ``sum_value`` is rounded to 6 decimals on both the Ray and the
+  SQL side: parallel reduction order differs, so raw float bit-equality is
+  not a meaningful contract.
+* ``sessionize`` — per-user sessions split at >30 min gaps: the windowed /
+  ordered custom operator Ray Data lacks natively, expressed as a
+  (user-hash-bucket) groupby with a VECTORIZED in-group sessionization
+  (sort + diff + cumsum — no per-event Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .pipeline import to_arrow
+
+GAP_MIN = 30
+
+
+def read_events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+def window_agg(sf_dir: str) -> pd.DataFrame:
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pd.DataFrame({
+            "window": win.to_pandas(),
+            "event_type": batch["event_type"].to_pandas(),
+            "value": batch["value"].to_pandas()})
+        g = df.groupby(["window", "event_type"], sort=False, as_index=False) \
+              .agg(n=("value", "size"), v=("value", "sum"))
+        return to_arrow(g)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["window", "event_type"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("v", alias_name="sum_value")))
+    df = agg.to_pandas()
+    df["n_events"] = df["n_events"].astype(np.int64)
+    df["sum_value"] = df["sum_value"].round(6)
+    return df.sort_values(["window", "event_type"]).reset_index(drop=True)
+
+
+def sessionize(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Sessions per user (gap > 30 min ⇒ new session).
+
+    Output: user_id, session_id (1-based per user, ordered by start),
+    n_events, start_ts, duration_us."""
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % n_buckets
+        return batch.append_column("_b", pa.array(b, type=pa.int64()))
+
+    gap = np.timedelta64(GAP_MIN, "m")
+
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        big_gap = np.r_[True, (ts[1:] - ts[:-1]) > gap]
+        new_sess = new_user | big_gap
+        sess_idx = np.cumsum(new_sess) - 1              # global within bucket
+        df = pd.DataFrame({"user_id": uid, "ts": ts, "sess": sess_idx})
+        agg = df.groupby("sess", sort=True).agg(
+            user_id=("user_id", "first"), n_events=("ts", "size"),
+            start_ts=("ts", "min"), end_ts=("ts", "max"))
+        agg["session_id"] = agg.groupby("user_id").cumcount() + 1
+        agg["duration_us"] = ((agg["end_ts"] - agg["start_ts"])
+                              .to_numpy().astype("timedelta64[us]")
+                              .astype(np.int64))
+        out = agg[["user_id", "session_id", "n_events", "start_ts",
+                   "duration_us"]].reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["session_id"] = out["session_id"].astype(np.int64)
+        return to_arrow(out)
+
+    res = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_b").map_groups(sessions, batch_format="pandas"))
+    df = res.to_pandas()
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)

@@ -338,6 +338,98 @@ SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n_docs
 FROM base GROUP BY 1 ORDER BY 1"""
 
 
+# ---------------------------------------------------------------------------
+# driver-table oracles (pre-registered DuckDB views: documents, embeddings,
+# events)
+# ---------------------------------------------------------------------------
+
+TEXT_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS tx FROM documents
+), c AS (
+  SELECT doc_id, tx,
+    CAST(len(regexp_extract_all(tx, '\S+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(tx, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS bpe_tokens,
+    CAST(len(regexp_extract_all(tx, '[.,;:!?]')) AS BIGINT) AS punct_cnt,
+    CAST(len(regexp_extract_all(tx, '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT) AS stop_cnt,
+    CAST(length(tx) AS BIGINT) AS n_chars
+  FROM t
+)
+SELECT doc_id, n_tokens, bpe_tokens, punct_cnt, stop_cnt,
+  CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+  CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+    + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)))
+    AS quality,
+  CASE WHEN stop_cnt > 0 THEN 'en' ELSE 'unknown' END AS lang_pred,
+  md5(tx) AS fingerprint
+FROM c ORDER BY doc_id"""
+
+DEDUP_EXACT_SQL = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text ORDER BY 1"""
+
+
+def ann_topk_sql(k: int, n_queries: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.qe) AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= {k} ORDER BY query_id, rank"""
+
+
+def cosine_pairs_sql(tau: float) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau!r}
+ORDER BY 1, 2"""
+
+
+EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS "window", event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+EVENTS_SESSIONIZE_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_ts,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid ORDER BY user_id, sid"""
+
+
+def media_features_sql(d: str) -> str:
+    return f"""
+SELECT doc_id, media_img AS media_ref,
+       CAST(320 + (osm_id % 7) * 80 AS BIGINT) AS width,
+       CAST(240 + (osm_id % 5) * 60 AS BIGINT) AS height,
+       CAST((320 + (osm_id % 7) * 80) * (240 + (osm_id % 5) * 60) * 3
+            AS BIGINT) AS n_bytes,
+       CAST((osm_id * 2654435761) % 2147483648 AS BIGINT) AS phash
+FROM read_parquet({q(d + '/flat.parquet')})
+WHERE media_img IS NOT NULL ORDER BY doc_id"""
+
+
 def knn_dup_names_sql(d: str, radius_km: float, max_name_freq: int) -> str:
     """Duplicate-name pairs: same name, both CTV, within radius, serbia map,
     excluding stop-names (global frequency > max_name_freq).

@@ -108,6 +108,71 @@ def knn_dup_names(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# training-data extensions (driver documents / embeddings / events tables)
+# ---------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NQ = 4
+COS_TAU = 0.5    # max pairwise cosine in the synthetic embeddings is ~0.51
+                 # — 0.5 yields a small non-trivial matched set at sf0.01
+
+
+def text_stats(sf_dir: str):
+    from . import textops
+    return textops.text_stats(sf_dir)
+
+
+def dedup_exact(sf_dir: str):
+    from . import textops
+    return textops.dedup_exact(sf_dir)
+
+
+def simhash_docs(sf_dir: str):
+    from . import textops
+    return textops.simhash_docs(sf_dir)
+
+
+def dedup_minhash(sf_dir: str):
+    from . import textops
+    return textops.minhash_dup_pairs(sf_dir)
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    from . import textops
+    return textops.ngram_jaccard_pairs(sf_dir)
+
+
+def ann_topk(sf_dir: str):
+    from . import ann
+    return ann.topk_neighbors(sf_dir, k=ANN_K, n_queries=ANN_NQ)
+
+
+def embedding_cosine_pairs(sf_dir: str):
+    from . import ann
+    return ann.cosine_pairs(sf_dir, tau=COS_TAU)
+
+
+def embedding_cosine_pairs_lsh(sf_dir: str):
+    from . import ann
+    return ann.cosine_pairs_lsh(sf_dir, tau=COS_TAU)
+
+
+def events_window(sf_dir: str):
+    from . import eventops
+    return eventops.window_agg(sf_dir)
+
+
+def events_sessionize(sf_dir: str):
+    from . import eventops
+    return eventops.sessionize(sf_dir)
+
+
+def media_features(sf_dir: str):
+    from . import media
+    return media.media_features(_synth(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -120,12 +185,25 @@ def ray_queries() -> dict:
         "pip_tile_join": pip_tile_join,
         "cell_index": cell_index,
         "knn_dup_names": knn_dup_names,
+        "text_stats": text_stats,
+        "dedup_exact": dedup_exact,
+        "simhash_docs": simhash_docs,
+        "dedup_minhash": dedup_minhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ann_topk": ann_topk,
+        "embedding_cosine_pairs": embedding_cosine_pairs,
+        "embedding_cosine_pairs_lsh": embedding_cosine_pairs_lsh,
+        "events_window": events_window,
+        "events_sessionize": events_sessionize,
+        "media_features": media_features,
     }
 
 
 def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Oracle SQL strings for the driver's sf0.01 comparison.  Generating
-    here also materializes the synthetic tables the SQL reads."""
+    here also materializes the synthetic tables the lint SQL reads.
+    Rows-only queries (hash-seeded approximations: simhash, minhash LSH,
+    n-gram jaccard, cosine LSH) intentionally have no oracle entry."""
     d = _synth(sf_dir)
     return {
         "lint_flags": oracle_sql.lint_flags_sql(d),
@@ -136,4 +214,11 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cell_index": oracle_sql.cell_index_sql(d, CELL_RES),
         "knn_dup_names": oracle_sql.knn_dup_names_sql(
             d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
+        "text_stats": oracle_sql.TEXT_STATS_SQL,
+        "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
+        "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
+        "embedding_cosine_pairs": oracle_sql.cosine_pairs_sql(COS_TAU),
+        "events_window": oracle_sql.EVENTS_WINDOW_SQL,
+        "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
+        "media_features": oracle_sql.media_features_sql(d),
     }

@@ -49,6 +49,10 @@ def main():
     qs = e.queries()
     oracles = qmod.oracle_queries(sf_dir)
     con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""Unit tests for ANN similarity search and event-window operators, with
+constructed fixtures containing known neighbors and sessions."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from osmlint import ann, eventops
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("emb")
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    base[1] = base[0] + rng.standard_normal(16).astype(np.float32) * 0.05
+    base[2] = base[0] * 2.0                      # exact direction dup of 0
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64),
+                       "embedding": list(base),
+                       "label": np.zeros(30, dtype=np.int32)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def test_topk_exact(emb_dir):
+    out = ann.topk_neighbors(emb_dir, k=3, n_queries=2)
+    q0 = out[out.query_id == 0]
+    assert list(q0["rank"]) == [1, 2, 3]
+    assert q0.iloc[0]["neighbor_id"] == 2        # cos=1 beats the noisy copy
+    assert q0.iloc[1]["neighbor_id"] == 1
+    # oracle: brute force numpy
+    tbl = pq.read_table(os.path.join(emb_dir, "embeddings.parquet"))
+    m = np.stack(tbl["embedding"].to_pandas()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[0]
+    sims[0] = -2
+    exp = set(np.argsort(-sims)[:3])
+    assert set(q0["neighbor_id"]) == exp
+
+
+def test_cosine_pairs_brute_vs_lsh(emb_dir):
+    brute = ann.cosine_pairs(emb_dir, tau=0.9)
+    got = set(zip(brute.vec_a, brute.vec_b))
+    assert (0, 2) in got and (0, 1) in got
+    lsh = ann.cosine_pairs_lsh(emb_dir, tau=0.9, dim=16)
+    # LSH is approximate but must find the exact-direction duplicate
+    assert (0, 2) in set(zip(lsh.vec_a, lsh.vec_b))
+    assert set(zip(lsh.vec_a, lsh.vec_b)) <= got
+
+
+@pytest.fixture(scope="module")
+def ev_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("ev")
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01 10:50:00",
+        "2024-01-01 12:00:00",                     # gap > 30min: new session
+        "2024-01-01 10:05:00",                     # user 2
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+        "event_type": ["view", "click", "view", "view", "click"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "props": ["{}"] * 5,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+def test_window_agg(ev_dir):
+    out = eventops.window_agg(ev_dir)
+    w10 = out[(out["window"] == pd.Timestamp("2024-01-01 10:00:00"))]
+    assert int(w10[w10.event_type == "view"]["n_events"].iloc[0]) == 2
+    assert float(w10[w10.event_type == "view"]["sum_value"].iloc[0]) == 4.0
+    assert int(w10[w10.event_type == "click"]["n_events"].iloc[0]) == 2
+    assert len(out) == 3                         # 10h view, 10h click, 12h view
+
+
+def test_sessionize(ev_dir):
+    out = eventops.sessionize(ev_dir)
+    u1 = out[out.user_id == 1]
+    # 10:00+10:10 together; 10:50 is a 40-min gap; 12:00 another
+    assert list(u1["session_id"]) == [1, 2, 3]
+    assert list(u1["n_events"]) == [2, 1, 1]
+    assert int(u1.iloc[0]["duration_us"]) == 10 * 60 * 1_000_000
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and int(u2.iloc[0]["n_events"]) == 1
