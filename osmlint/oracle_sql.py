@@ -93,6 +93,7 @@ base AS (
     w."exists" AS wiki_exists, w.has_box AS wiki_has_box,
     w.wiki_lat AS wiki_lat, w.wiki_lon AS wiki_lon,
     wd.label_sr AS wd_label,
+    w.qid AS wiki_qid,
     (CASE WHEN f.name IS NOT NULL AND f.name <> '' THEN f.name
           ELSE CAST(f.osm_id AS VARCHAR) END
      || CASE WHEN f.name_sr IS NOT NULL THEN ' / ' || f.name_sr ELSE '' END)
@@ -456,3 +457,165 @@ FROM eligible a JOIN eligible b
   ON a.name = b.name AND a.doc_id < b.doc_id
 WHERE {hav} <= {radius_km!r}
 ORDER BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------------------
+# fix-plan oracle (plan side of the reference's --fix mode, §2.6)
+# ---------------------------------------------------------------------------
+
+def fix_plan_sql(d: str) -> str:
+    """Union of fixable-check plan rows per map-check; guards cited in
+    osmlint.fixes.  Runs on the deduped row set (last-wins among
+    result-producing docs)."""
+    hav_w = haversine_sql("wiki_lat", "wiki_lon", "lat", "lon")
+    hav_g = haversine_sql("w.wiki_lat", "w.wiki_lon", "f.lat", "f.lon")
+    hav_t = haversine_sql("t.wiki_lat", "t.wiki_lon", "f.lat", "f.lon")
+    ctes = f"""{base_ctes(d)},
+links AS (SELECT * FROM read_parquet({q(d + '/wiki_links.parquet')})),
+resdocs AS (
+  SELECT map_slug, osm_id, max(seq) AS mx, count(*) AS c
+  FROM base WHERE origin = 'sophox' OR ctv GROUP BY 1, 2
+),
+base2 AS (
+  SELECT b.* FROM base b
+  LEFT JOIN resdocs r ON r.map_slug = b.map_slug AND r.osm_id = b.osm_id
+  WHERE r.c IS NULL OR r.c = 1 OR b.seq = r.mx
+),
+cassign AS (
+  SELECT b.map_slug, b.seq, c.country,
+         row_number() OVER (PARTITION BY b.map_slug, b.seq
+                            ORDER BY c.priority) AS rn
+  FROM base2 b JOIN countries c
+    ON b.lat >= c.minlat AND b.lat < c.maxlat
+   AND b.lon >= c.minlon AND b.lon < c.maxlon
+),
+gdir AS (
+  SELECT f.map_slug, f.seq,
+         (w."exists" IS TRUE) AS d_exists, (w.has_box IS TRUE) AS d_box,
+         (w."exists" IS TRUE AND w.has_box IS TRUE
+          AND w.wiki_lat IS NOT NULL AND {hav_g} <= 20.0) AS d_ok
+  FROM base2 f LEFT JOIN wiki w ON w.title = f.name
+),
+gdis AS (
+  SELECT map_slug, seq, target FROM (
+    SELECT f.map_slug, f.seq, l.target,
+           row_number() OVER (PARTITION BY f.map_slug, f.seq
+                              ORDER BY l.ord) AS rn
+    FROM base2 f
+    JOIN links l ON l.title = f.name || ' (вишезначна одредница)'
+    JOIN wiki t ON t.title = l.target
+    WHERE t."exists" IS TRUE AND t.has_box IS TRUE
+      AND t.wiki_lat IS NOT NULL AND {hav_t} <= 20.0
+  ) WHERE rn = 1
+),
+guessx AS (
+  SELECT b.map_slug, b.seq,
+         CASE WHEN g.d_ok THEN b.name
+              WHEN g.d_exists AND NOT g.d_box THEN gd.target END AS guessed
+  FROM base2 b
+  LEFT JOIN gdir g ON g.map_slug = b.map_slug AND g.seq = b.seq
+  LEFT JOIN gdis gd ON gd.map_slug = b.map_slug AND gd.seq = b.seq
+)"""
+
+    import textwrap
+    from . import config as _cfg
+
+    def wn(expr="entity_type"):
+        return expr
+
+    selects = []
+    for mc in _cfg.default_map_checks():
+        sm = mc.serbia_mode
+        pname = "name" if sm else "name_sr"
+        c2_ok = (f"NOT (have_name AND country_ok AND NOT {has_cyr_sql('name')})"
+                 if sm else
+                 f"NOT (have_sr AND NOT {has_cyr_sql('name_sr')})")
+        latin = cyr2lat_sql(pname)
+        is_wn = "entity_type IN ('way','node')"
+        mslug = q(mc.slug)
+        mname = q(mc.map_name)
+        for fqn in mc.checks:
+            if not CHECKS[fqn].fixable:
+                continue
+            if fqn == "checks.LatinNameExistsCheck":
+                err = ("(ctv AND NOT have_latn)" if sm else
+                       "(ctv AND NOT have_latn AND have_sr)")
+                guard = ("have_name" if sm else "have_sr") + f" AND {c2_ok}"
+                selects.append(f"""
+SELECT doc_id, {mname} AS map_name, {q(fqn)} AS check_name,
+ 'name:sr-Latn' AS tag, 'add' AS action, {latin} AS new_value,
+ 'name:sr-Latn for ' || entity_type || ' ' || coalesce({pname}, '')
+   || ' didn''t exists, added it as "' || {latin} || '"' AS message
+FROM base2 WHERE map_slug = {mslug} AND {err} AND {guard} AND {is_wn}""")
+            elif fqn == "checks.LatinNameSameAsCyrillicCheck":
+                err = (f"(ctv AND {pname} IS NOT NULL AND name_sr_latn IS NOT "
+                       f"NULL AND country_ok AND {latin} <> name_sr_latn)")
+                selects.append(f"""
+SELECT doc_id, {mname}, {q(fqn)}, 'name:sr-Latn', 'set', {latin},
+ 'name:sr-Latn for ' || entity_type || ' ' || coalesce({pname}, '')
+   || ' was different than in cyrillic, fixed it to be "' || {latin} || '"'
+FROM base2 WHERE map_slug = {mslug} AND {err} AND {is_wn}""")
+            elif fqn in ("checks.WikipediaEntryExistsCheck",
+                         "checks.WikipediaEntryIsInSerbianCheck"):
+                err = ("(ctv AND country_ok AND wikipedia IS NULL)"
+                       if fqn == "checks.WikipediaEntryExistsCheck" else
+                       "(ctv AND wikipedia IS NOT NULL AND country_ok AND "
+                       "wikipedia NOT LIKE 'sr:%')")
+                action = ("'add'" if fqn == "checks.WikipediaEntryExistsCheck"
+                          else "'set'")
+                selects.append(f"""
+SELECT b.doc_id, {mname}, {q(fqn)}, 'wikipedia', {action},
+ 'sr:' || gx.guessed,
+ 'Wikipedia tag for ' || b.entity_type || ' "' || coalesce(b.{pname}, '')
+   || '" is updated to be "sr:' || gx.guessed || '"'
+FROM base2 b JOIN guessx gx ON gx.map_slug = b.map_slug AND gx.seq = b.seq
+WHERE b.map_slug = {mslug} AND {err} AND have_name AND {c2_ok}
+  AND b.entity_type IN ('way','node') AND gx.guessed IS NOT NULL""")
+            elif fqn == "checks.WikidataEntryExistsCheck":
+                err = "(ctv AND country_ok AND wikidata IS NULL)"
+                c8 = (f"(ctv AND name IS NOT NULL AND wikipedia IS NOT NULL "
+                      f"AND sr_title IS NOT NULL AND country_ok AND "
+                      f"wiki_exists IS TRUE AND wiki_has_box IS TRUE AND "
+                      f"wiki_lat IS NOT NULL AND {hav_w} <= 20.0 AND "
+                      f"wiki_qid IS NOT NULL AND wiki_qid <> '')")
+                selects.append(f"""
+SELECT doc_id, {mname}, {q(fqn)}, 'wikidata', 'add', wiki_qid,
+ 'Wikidata tag for ' || entity_type || ' "' || coalesce({pname}, '')
+   || '" is set to be "' || wiki_qid || '"'
+FROM base2 WHERE map_slug = {mslug} AND {err} AND {c8} AND {is_wn}""")
+            elif fqn == "checks.IsInCountryCheck":
+                err = "(ctv AND is_in_country IS NULL)"
+                selects.append(f"""
+SELECT b.doc_id, {mname}, {q(fqn)}, 'is_in:country', 'add',
+ coalesce(ca.country, 'Serbia'),
+ 'is_in:country for ' || b.entity_type || ' ' || b.name_or_id
+   || ' was missing, added it to be "' || coalesce(ca.country, 'Serbia')
+   || '"'
+FROM base2 b LEFT JOIN (SELECT * FROM cassign WHERE rn = 1) ca
+  ON ca.map_slug = b.map_slug AND ca.seq = b.seq
+WHERE b.map_slug = {mslug} AND {err} AND b.entity_type IN ('way','node')""")
+            elif fqn == "checks.GenericSophoxCheck":
+                cur = ("CASE tag_1 WHEN 'name' THEN name WHEN 'name:sr' THEN "
+                       "name_sr WHEN 'name:sr-Latn' THEN name_sr_latn "
+                       "WHEN 'int_name' THEN int_name END")
+                selects.append(f"""
+SELECT doc_id, {mname}, {q(fqn)}, tag_1,
+ CASE WHEN coalesce(val_1,'') = 'false' THEN 'delete'
+      WHEN {cur} IS NULL THEN 'add' ELSE 'set' END,
+ coalesce(val_1, ''), 'Fixes made'
+FROM base2 WHERE map_slug = {mslug} AND origin = 'sophox'
+  AND coalesce(tag_1, '') <> ''
+  AND ((coalesce(val_1,'') = 'false' AND {cur} IS NOT NULL)
+       OR (coalesce(val_1,'') <> 'false' AND
+           ({cur} IS NULL OR coalesce({cur}, '') <> coalesce(val_1, ''))))""")
+            elif fqn == "checks_extended.RemoveLatinName":
+                err = "(ctv AND have_latn)"
+                selects.append(f"""
+SELECT doc_id, {mname}, {q(fqn)}, 'name:sr-Latn', 'delete', '',
+ 'name:sr-Latn for way ' || name_or_id || ' existed, removed it'
+FROM base2 WHERE map_slug = {mslug} AND {err} AND {is_wn}""")
+    union = "\nUNION ALL\n".join(s.strip() for s in selects)
+    return (f"WITH {ctes},\n"
+            f"unioned(doc_id, map_name, check_name, tag, action, new_value, "
+            f"message) AS (\n{union}\n)\n"
+            f"SELECT * FROM unioned")

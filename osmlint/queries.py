@@ -172,6 +172,11 @@ def media_features(sf_dir: str):
     return media.media_features(_synth(sf_dir))
 
 
+def fix_plan(sf_dir: str):
+    from . import fixes
+    return fixes.fix_plan_dataset(_synth(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -196,6 +201,7 @@ def ray_queries() -> dict:
         "events_window": events_window,
         "events_sessionize": events_sessionize,
         "media_features": media_features,
+        "fix_plan": fix_plan,
     }
 
 
@@ -221,4 +227,5 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "media_features": oracle_sql.media_features_sql(d),
+        "fix_plan": oracle_sql.fix_plan_sql(d),
     }
