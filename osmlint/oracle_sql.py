@@ -619,3 +619,61 @@ FROM base2 WHERE map_slug = {mslug} AND {err} AND {is_wn}""")
             f"unioned(doc_id, map_name, check_name, tag, action, new_value, "
             f"message) AS (\n{union}\n)\n"
             f"SELECT * FROM unioned")
+
+
+# ---------------------------------------------------------------------------
+# data-driven rule oracles (the reference's sparql/*.sparql re-expressions,
+# X5-X9: transliteration chains, latin heuristics, point-radius geofences)
+# ---------------------------------------------------------------------------
+
+_SERBIAN_LATIN_SQL = ("regexp_matches({e}, '(?i)(a|b|c|č|ć|d|đ|e|f|g|h|j|k|l"
+                      "|m|n|o|p|r|s|š|t|u|z|ž)')")
+_ENGLISH_SQL = "regexp_matches({e}, '(?i)(x|y|w|q)')"
+_NAME_CYR_SQL = ("regexp_matches({e}, '(?i)(а|б|в|г|д|ђ|е|ж|з|и|ј|к|л|љ|м|н"
+                 "|њ|о|п|р|с|т|ћ|у|ф|х|ц|ч|џ|ш)')")
+
+
+def _within_sql(center, radius) -> str:
+    (clat, clon) = center
+    return f"{haversine_sql('lat', 'lon', repr(clat), repr(clon))} <= {radius!r}"
+
+
+def _ne(col: str) -> str:
+    return f"({col} IS NOT NULL AND {col} <> '')"
+
+
+def rule_sql(d: str, slug: str) -> str:
+    """Binding rows (osm_id, entity_type, lat, lon, name, tag_1, val_1) of
+    one data-driven rule over the serbia_pbf rows."""
+    from .rules import CENTERS
+    if slug == "sophox_adding_name":
+        mask = (f"{_ne('name_sr')} AND NOT {_ne('name')} AND "
+                f"({_ne('place')} OR {_ne('highway')}) AND "
+                f"{_within_sql(*CENTERS['serbia'])}")
+        name, tag1, val = "name_sr", "'name'", "name_sr"
+    elif slug == "sophox_adding_namesr_central":
+        mask = (f"{_ne('name')} AND {_ne('highway')} AND "
+                + _SERBIAN_LATIN_SQL.format(e="name") + " AND NOT "
+                + _ENGLISH_SQL.format(e="name") + " AND "
+                + _within_sql(*CENTERS["adding_central"]))
+        name, tag1, val = "name", "'name:sr'", lat2cyr_sql("name")
+    elif slug == "sophox_checking_namesr_latn_north":
+        correct = cyr2lat_sql("name_sr")
+        mask = (f"{_ne('name')} AND {_ne('name_sr')} AND "
+                f"{_within_sql(*CENTERS['checking_north'])} AND "
+                f"(({_ne('name_sr_latn')} AND coalesce({correct}, '') <> "
+                f"coalesce(name_sr_latn, '')) OR (NOT {_ne('name_sr_latn')}"
+                f" AND " + _NAME_CYR_SQL.format(e="name") + "))")
+        name, tag1, val = "name", "'name:sr-Latn'", correct
+    elif slug == "sophox_adding_int_name":
+        mask = (f"{_ne('name_sr_latn')} AND "
+                f"regexp_matches(name_sr_latn, '(?i)đ') AND "
+                f"NOT {_ne('int_name')} AND {_within_sql(*CENTERS['serbia'])}")
+        name, tag1, val = "name_sr_latn", "'int_name'", romanize_sql("name_sr_latn")
+    else:
+        raise KeyError(slug)
+    return f"""WITH flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')}))
+SELECT osm_id, entity_type, lat, lon, {name} AS name,
+       {tag1} AS tag_1, {val} AS val_1
+FROM flat WHERE map_slug = 'serbia_pbf' AND {mask}
+ORDER BY osm_id"""

@@ -177,6 +177,35 @@ def fix_plan(sf_dir: str):
     return fixes.fix_plan_dataset(_synth(sf_dir))
 
 
+def _rule_query(slug: str):
+    """Data-driven rule (sparql re-expression) over the serbia shard:
+    decode -> vectorized rule kernel (mask + transliteration projection)."""
+    def run(sf_dir: str) -> rd.Dataset:
+        import os
+
+        from . import rules
+        d = _synth(sf_dir)
+        rule = rules.RULES_BY_SLUG[slug]
+        ds = rd.read_parquet(os.path.join(d, "docs", "map=serbia_pbf"),
+                             columns=["doc_id", "spans"])
+        ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+
+        def apply(batch: pa.Table) -> pa.Table:
+            out = rule.apply(batch.to_pandas())
+            return pipeline.to_arrow(out, pa.schema([
+                ("osm_id", pa.int64()), ("entity_type", pa.string()),
+                ("lat", pa.float64()), ("lon", pa.float64()),
+                ("name", pa.string()), ("tag_1", pa.string()),
+                ("val_1", pa.string())]))
+        return ds.map_batches(apply, batch_format="pyarrow")
+    return run
+
+
+RULE_QUERY_SLUGS = ("sophox_adding_name", "sophox_adding_namesr_central",
+                    "sophox_checking_namesr_latn_north",
+                    "sophox_adding_int_name")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -202,6 +231,8 @@ def ray_queries() -> dict:
         "events_sessionize": events_sessionize,
         "media_features": media_features,
         "fix_plan": fix_plan,
+        **{f"rule_{sl.removeprefix('sophox_')}": _rule_query(sl)
+           for sl in RULE_QUERY_SLUGS},
     }
 
 
@@ -228,4 +259,6 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "media_features": oracle_sql.media_features_sql(d),
         "fix_plan": oracle_sql.fix_plan_sql(d),
+        **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
+           for sl in RULE_QUERY_SLUGS},
     }
