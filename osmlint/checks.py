@@ -93,6 +93,14 @@ class Ctx:
         return self.df["name"] if self.serbia_mode else self.df["name_sr"]
 
     @property
+    def wp_sr(self) -> np.ndarray:
+        """wikipedia tag present and prefixed 'sr:' (computed once)."""
+        if "wp_sr" not in self._cache:
+            self._cache["wp_sr"] = self.df["wikipedia"].fillna("") \
+                .str.startswith("sr:").to_numpy()
+        return self._cache["wp_sr"]
+
+    @property
     def wiki_join(self) -> pd.DataFrame:
         """Hash-probe of sr: wikipedia titles against the wiki_ref lookup.
 
@@ -102,7 +110,7 @@ class Ctx:
         whole reference table."""
         if "wiki_join" not in self._cache:
             wp = self.df["wikipedia"]
-            title = wp.str.slice(3).where(wp.fillna("").str.startswith("sr:"))
+            title = wp.str.slice(3).where(self.wp_sr)
             ref = self.wiki_ref
             if ref.index.name != "title":
                 ref = ref.drop_duplicates("title").set_index("title")
@@ -219,8 +227,7 @@ def _wikipedia_in_serbian(ctx: Ctx):
     # src/checks.py:435-459
     app = ctx.place_ctv
     wp = ctx.df["wikipedia"]
-    err = (app & wp.notna().to_numpy() & ctx.country_ok
-           & ~wp.fillna("").str.startswith("sr:").to_numpy())
+    err = (app & wp.notna().to_numpy() & ctx.country_ok & ~ctx.wp_sr)
     msg = _fmt(err, ["Wikipedia entry is ", wp, " and is not in Serbian for ",
                      ctx.df["place"], " ", ctx.name_or_id])
     return app, msg
@@ -232,7 +239,7 @@ def _wikipedia_valid(ctx: Ctx):
     app = ctx.place_ctv
     wp = d["wikipedia"]
     checked = (app & d["name"].notna().to_numpy() & wp.notna().to_numpy()
-               & wp.fillna("").str.startswith("sr:").to_numpy() & ctx.country_ok)
+               & ctx.wp_sr & ctx.country_ok)
     n = len(d)
     msg = _blank(n)
     if checked.any():

@@ -96,31 +96,44 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         spans = spans.combine_chunks()
     flat = pc.list_flatten(spans)
     parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-    kinds = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+    # dictionary-encode kinds ONCE: per-kind selection compares int codes,
+    # not object strings (17 kinds x ~10 spans/doc otherwise dominates)
+    kind_dict = pc.dictionary_encode(pc.struct_field(flat, "kind"))
+    kind_codes = kind_dict.indices.to_numpy(zero_copy_only=False)
+    kind_of = {k: i for i, k in enumerate(kind_dict.dictionary.to_pylist())}
     texts = pc.struct_field(flat, "text").to_numpy(zero_copy_only=False)
     media = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
 
     cols: dict[str, object] = {}
     # doc_id layout: "<map_slug>/<entity_type>/<osm_id>"
     did = doc_id.to_numpy(zero_copy_only=False)
-    did_pd = pd.Series(did)
-    parts = did_pd.str.split("/", expand=True)
+    split3 = [s.split("/") for s in did]
     cols["doc_id"] = did
-    cols["map_slug"] = parts[0].to_numpy(dtype=object)
-    cols["entity_type"] = parts[1].to_numpy(dtype=object)
-    cols["osm_id"] = parts[2].astype(np.int64).to_numpy()
+    cols["map_slug"] = np.array([p[0] for p in split3], dtype=object)
+    cols["entity_type"] = np.array([p[1] for p in split3], dtype=object)
+    cols["osm_id"] = np.array([int(p[2]) for p in split3], dtype=np.int64)
 
     def grab(kind: str) -> np.ndarray:
-        m = kinds == kind
+        code = kind_of.get(kind)
+        if code is None:
+            return np.full(n, None, dtype=object)
+        m = kind_codes == code
         return _scatter(texts[m], parents[m], n)
 
     cols["origin"] = grab("origin")
-    seq_txt = grab("seq")
-    cols["seq"] = pd.Series(seq_txt).astype("float64").fillna(-1).astype(np.int64).to_numpy()
-    geom = pd.Series(grab("geom"))
-    pt = geom.str.extract(r"Point\(([-0-9.]+) ([-0-9.]+)\)")
-    cols["lon"] = pt[0].astype(np.float64).to_numpy()
-    cols["lat"] = pt[1].astype(np.float64).to_numpy()
+    seq = np.full(n, -1, dtype=np.int64)
+    m = kind_codes == kind_of.get("seq", -1)
+    seq[parents[m]] = texts[m].astype(np.int64)
+    cols["seq"] = seq
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    m = kind_codes == kind_of.get("geom", -1)
+    # geom text is always 'Point(<lon> <lat>)' (see encode_table)
+    pts = [t[6:-1].split(" ") for t in texts[m]]
+    lon[parents[m]] = np.array([p[0] for p in pts], dtype=np.float64)
+    lat[parents[m]] = np.array([p[1] for p in pts], dtype=np.float64)
+    cols["lon"] = lon
+    cols["lat"] = lat
     for key, col in HOT_TAGS:
         cols[col] = grab("tag:" + key)
     for key, col in META_KEYS:
@@ -128,7 +141,7 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     for key, col in SUGGEST_KEYS:
         cols[col] = grab("suggest:" + key)
     # media image refs (not derivable from tags -> must round-trip)
-    m_img = (kinds == "media") & (texts == "image")
+    m_img = (kind_codes == kind_of.get("media", -1)) & (texts == "image")
     cols["media_img"] = _scatter(media[m_img], parents[m_img], n)
 
     arrays = []
