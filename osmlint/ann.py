@@ -158,3 +158,101 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64) -> pd.DataFra
                            "vec_b": pd.Series(dtype=np.int64)})
     df = df.drop_duplicates(["vec_a", "vec_b"])
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) top-k: the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_ITERS = 8
+IVF_SAMPLE = 4096
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int = 11):
+    """Tiny seeded Lloyd's k-means on a driver-side sample (numpy only)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                             replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def topk_neighbors_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
+                       n_lists: int = IVF_K,
+                       nprobe: int = IVF_NPROBE) -> pd.DataFrame:
+    """Approximate top-k via an IVF index: k-means coarse centroids built
+    from a driver-side sample, vectors routed to their nearest list by a
+    broadcast centroid matrix, queries probed against their ``nprobe``
+    nearest lists only.  groupby(list) colocates each list's vectors; the
+    per-list kernel is one matmul.  Approximate (rows-only check) —
+    ``topk_neighbors`` is the exact baseline."""
+    import os
+
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    all_ids, all_mat = _batch_matrix(tbl)
+    sample = _normalize(all_mat[:IVF_SAMPLE])
+    cent = _kmeans(sample, n_lists, IVF_ITERS)
+    q_ids = all_ids[:n_queries]
+    q_mat = _normalize(all_mat[:n_queries])
+    # queries probe their nprobe nearest lists
+    qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(qd, axis=1)[:, :nprobe]          # (nq, nprobe)
+    cent_ref = ray.put(cent)
+    q_ref = ray.put((q_ids, q_mat, probe_lists))
+
+    def route(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m)
+        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lst = d.argmin(axis=1).astype(np.int64)
+        return pa.table({"list": pa.array(lst),
+                         "vec_id": pa.array(ids),
+                         "vec": pa.array(list(mn), type=pa.list_(pa.float64()))})
+
+    def search(g: pd.DataFrame) -> pa.Table:
+        qi, qm, probes = ray.get(q_ref)
+        lst = int(g["list"].iat[0])
+        qsel = np.nonzero((probes == lst).any(axis=1))[0]
+        if not len(qsel):
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ qm[qsel].T                                  # (n, nqsel)
+        kk = min(k + 1, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out_q, out_n, out_s = [], [], []
+        for j, qidx in enumerate(qsel):
+            out_q.append(np.full(kk, qi[qidx], dtype=np.int64))
+            out_n.append(ids[top[:, j]])
+            out_s.append(sims[top[:, j], j])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s),
+                                         type=pa.float64())})
+
+    ds = read_embeddings(sf_dir).map_batches(route, batch_format="pyarrow")
+    parts = ds.groupby("list").map_groups(search, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "neighbor_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64)})
+    parts = parts[parts["query_id"] != parts["neighbor_id"]]
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"],
+                              ascending=[True, False, True], kind="stable")
+    top = parts.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

@@ -113,3 +113,21 @@ def run_resumable(data_dir: str, out_dir: str, *,
         if fail_after is not None and done_new >= fail_after:
             raise RuntimeError(f"injected failure after {done_new} partitions")
     return manifest
+
+
+def write_cell_sorted(data_dir: str, out_dir: str,
+                      *, num_files: int | None = None) -> list[str]:
+    """Tile-locality output layout (north-rule: range-partitioned sort on
+    cell id): the decoded table globally sorted by Morton code — a Ray
+    ``sort`` is a range-partition shuffle, so each output file covers a
+    contiguous Z-order range and spatially close docs colocate."""
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(data_dir, "docs"),
+                         columns=["doc_id", "spans"])
+    ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+    ds = ds.sort("morton")
+    if num_files:
+        ds = ds.repartition(num_files)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    return sorted(os.listdir(out_dir))

@@ -152,6 +152,11 @@ def embedding_cosine_pairs(sf_dir: str):
     return ann.cosine_pairs(sf_dir, tau=COS_TAU)
 
 
+def ann_topk_ivf(sf_dir: str):
+    from . import ann
+    return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
+
+
 def embedding_cosine_pairs_lsh(sf_dir: str):
     from . import ann
     return ann.cosine_pairs_lsh(sf_dir, tau=COS_TAU)
@@ -225,6 +230,7 @@ def ray_queries() -> dict:
         "dedup_minhash": dedup_minhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk": ann_topk,
+        "ann_topk_ivf": ann_topk_ivf,
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "embedding_cosine_pairs_lsh": embedding_cosine_pairs_lsh,
         "events_window": events_window,

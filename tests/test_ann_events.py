@@ -93,3 +93,17 @@ def test_sessionize(ev_dir):
     assert int(u1.iloc[0]["duration_us"]) == 10 * 60 * 1_000_000
     u2 = out[out.user_id == 2]
     assert len(u2) == 1 and int(u2.iloc[0]["n_events"]) == 1
+
+
+def test_topk_ivf_recall(emb_dir):
+    exact = ann.topk_neighbors(emb_dir, k=3, n_queries=2)
+    approx = ann.topk_neighbors_ivf(emb_dir, k=3, n_queries=2,
+                                    n_lists=4, nprobe=4)
+    # full probe (nprobe == n_lists) must equal the exact result
+    pd_exact = set(map(tuple, exact.values))
+    pd_apx = set(map(tuple, approx.values))
+    assert pd_exact == pd_apx
+    # reduced probe still finds the exact-direction duplicate as rank 1
+    apx1 = ann.topk_neighbors_ivf(emb_dir, k=3, n_queries=1,
+                                  n_lists=4, nprobe=1)
+    assert apx1.iloc[0]["neighbor_id"] == 2

@@ -54,3 +54,14 @@ def test_report_render(ray_session, synth_small, tmp_path):
     sec = html.split("Errors — Serbia checks", 1)[1].split("</table>")[0]
     names = re.findall(r"<tr><td>([^<]*)</td>", sec)
     assert names == sorted(names)
+
+
+def test_cell_sorted_layout(ray_session, synth_small, tmp_path):
+    out = str(tmp_path / "sorted")
+    files = lineage.write_cell_sorted(synth_small, out, num_files=4)
+    assert len([f for f in files if f.endswith(".parquet")]) >= 1
+    t = pq.read_table(out, columns=["morton"])
+    m = t["morton"].to_numpy()
+    # globally sorted across the whole layout (files read in name order)
+    import numpy as np
+    assert (np.diff(m) >= 0).all()
