@@ -108,10 +108,22 @@ def decode_batch(batch: pa.Table) -> pa.Table:
     # doc_id layout: "<map_slug>/<entity_type>/<osm_id>"
     did = doc_id.to_numpy(zero_copy_only=False)
     split3 = [s.split("/") for s in did]
+    try:
+        osm_ids = np.array([int(p[2]) for p in split3], dtype=np.int64)
+    except (ValueError, IndexError):
+        # explicit per-row error policy (the reference silently skips
+        # entities raising AttributeError, src/sources/osm_source.py:33-36):
+        # DROP malformed doc_ids and log the count — never fail the block
+        import logging
+        ok = np.array([len(p) == 3 and p[2].lstrip("-").isdigit()
+                       for p in split3])
+        logging.getLogger(__name__).warning(
+            "decode_batch: dropping %d malformed doc_ids", (~ok).sum())
+        return decode_batch(batch.filter(pa.array(ok)))
     cols["doc_id"] = did
     cols["map_slug"] = np.array([p[0] for p in split3], dtype=object)
     cols["entity_type"] = np.array([p[1] for p in split3], dtype=object)
-    cols["osm_id"] = np.array([int(p[2]) for p in split3], dtype=np.int64)
+    cols["osm_id"] = osm_ids
 
     def grab(kind: str) -> np.ndarray:
         code = kind_of.get(kind)
