@@ -140,35 +140,37 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
 
     ds = ds.map_batches(named_ctv, batch_format="pyarrow")
 
-    # per-doc dedup (doc_id collisions are rare but must be deterministic):
-    # bucketed groupby + vectorized in-group transform, never per-doc Python
-    def keep_last(g: pd.DataFrame) -> pa.Table:
-        mx = g.groupby("doc_id", sort=False)["seq"].transform("max")
-        g = g[g["seq"] == mx]
-        return pa.Table.from_pandas(
-            g.drop_duplicates("doc_id").drop(columns="_b"),
-            preserve_index=False)
-    ds = ds.groupby("_b").map_groups(keep_last, batch_format="pandas")
-
-    # stop-name cap: count names distributedly (per-batch partials + tiny
-    # groupby), broadcast the SMALL hot-name set, filter before replication.
-    # The named-CTV subset is a small fraction of the input, so one
-    # materialize here lets both the count pass and the pair pass reuse it.
+    # ONE small-side pass over the named-CTV subset (materialized so the
+    # pair pass reuses it): per-batch partials of (doc_id, n, max_seq) and
+    # (name, count) combined on the DRIVER — dup doc_ids and hot names are
+    # both tiny broadcast sets, so the stream itself never shuffles for
+    # dedup or the stop-name cap.
     ds = ds.materialize()
+
+    def dedup_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("doc_id", sort=False, as_index=False).agg(
+            n=("seq", "size"), mx=("seq", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+    dp = ds.map_batches(dedup_partial, batch_format="pandas").to_pandas()
+    dd = dp.groupby("doc_id", sort=False, as_index=False).agg(
+        n=("n", "sum"), mx=("mx", "max"))
+    dup_max = dd[dd["n"] > 1].set_index("doc_id")["mx"]
 
     def name_partial(df: pd.DataFrame) -> pa.Table:
         c = df.groupby("name", sort=False).size()
         return pa.Table.from_pandas(c.reset_index(name="c"),
                                     preserve_index=False)
-    from ray.data.aggregate import Sum as _Sum
-    freq = (ds.map_batches(name_partial, batch_format="pandas")
-            .groupby("name").aggregate(_Sum("c", alias_name="c")))
-    hot = set(r["name"] for r in
-              freq.filter(lambda r: r["c"] > max_name_freq).take_all())
+    np_ = ds.map_batches(name_partial, batch_format="pandas").to_pandas()
+    freq = np_.groupby("name", sort=False)["c"].sum()
+    hot = set(freq[freq > max_name_freq].index)
 
-    def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
-        return df[~df["name"].isin(hot)]
-    ds = ds.map_batches(drop_hot, batch_format="pandas")
+    def drop_dups_and_hot(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ~df["name"].isin(hot)
+        if len(dup_max):
+            mx = df["doc_id"].map(dup_max)
+            keep &= mx.isna() | (df["seq"] == mx)
+        return df[keep].drop(columns="_b")
+    ds = ds.map_batches(drop_dups_and_hot, batch_format="pandas")
 
     ds = ds.map_batches(replicate_to_cells, batch_format="pyarrow",
                         fn_kwargs={"res": res, "group_res": group_res,

@@ -31,8 +31,10 @@ from . import checks as checks_mod
 from . import config as config_mod
 from . import translit
 from .geo import haversine_km
-from .pipeline import (PipAssign, _resolve, broadcast_refs, collision_keys_from_decoded,
-                       decode_and_index, dedup_filter, read_documents, to_arrow)
+from .pipeline import (PipAssign, _resolve, broadcast_refs,
+                       collision_keys_from_decoded, decode_and_index,
+                       dedup_filter, doc_partitions, read_documents,
+                       to_arrow)
 
 FIXES_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("map_name", pa.string()),
@@ -286,7 +288,8 @@ def fix_plan_dataset(data_dir: str) -> rd.Dataset:
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
     ds = ds.materialize()
-    coll_ref = ray.put(collision_keys_from_decoded(ds))
+    coll_ref = ray.put(collision_keys_from_decoded(
+        ds, doc_partitions(data_dir)))
     ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
                         fn_kwargs={"collisions_ref": coll_ref})
     from .pipeline import pip_assign_batch

@@ -52,9 +52,7 @@ def _save_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def partitions(data_dir: str) -> list[str]:
-    docs = os.path.join(data_dir, "docs")
-    return sorted(d.split("=", 1)[1] for d in os.listdir(docs)
-                  if d.startswith("map="))
+    return pipeline.doc_partitions(data_dir)
 
 
 def flags_for_partition(data_dir: str, slug: str):
@@ -66,7 +64,7 @@ def flags_for_partition(data_dir: str, slug: str):
     ds = rd.read_parquet(path, columns=["doc_id", "spans"])
     ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
     ds = ds.materialize()
-    coll = pipeline.collision_keys_from_decoded(ds)
+    coll = pipeline.collision_keys_from_decoded(ds, [slug])
     coll_ref = ray.put(coll)
     ds = ds.map_batches(pipeline.dedup_filter, batch_format="pyarrow",
                         fn_kwargs={"collisions_ref": coll_ref})

@@ -57,6 +57,13 @@ def _resolve(ref):
 # stages
 # ---------------------------------------------------------------------------
 
+def doc_partitions(data_dir: str) -> list[str]:
+    """The authoritative map-shard listing of the hive-partitioned docs."""
+    docs = os.path.join(data_dir, "docs")
+    return sorted(d.split("=", 1)[1] for d in os.listdir(docs)
+                  if d.startswith("map="))
+
+
 def read_documents(data_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(data_dir, "docs"),
                            columns=["doc_id", "spans"])
@@ -244,55 +251,62 @@ def _bucket_arrow(n_buckets: int):
     return add
 
 
-def collision_keys_from_decoded(decoded: rd.Dataset) -> pd.DataFrame:
+def collision_keys_from_decoded(decoded: rd.Dataset,
+                                slugs: list[str] | None = None) -> pd.DataFrame:
     """The SMALL side of the dedup: (map_slug, osm_id, max_seq) for entity
     ids that occur more than once within a map partition (reference keys its
     accumulator by bare id, last write wins — src/sources/osm_source.py:43).
 
-    Runs over the already-decoded stream: per-batch pre-aggregated partials
-    of 4 narrow columns, a tiny global groupby, filtered to collisions
-    (~0.3% of entities).  The result is broadcast to the flag pipeline so
-    the BIG stream never shuffles for dedup."""
-    proj_schema = pa.schema([("map_slug", pa.string()), ("osm_id", pa.int64()),
-                             ("n", pa.int64()), ("mx", pa.int64())])
+    Runs over the already-decoded stream: each batch emits one NUMERIC
+    ``(slug_code << 44 | osm_id, seq)`` pair per result-producing doc (the
+    slug universe is the known partition list, so keys are exact), and the
+    driver reduces them with one numpy sort — a batch holds each doc once,
+    so no per-batch groupby is needed either.  At cluster scale this becomes
+    a tree-reduce over the same numeric partials."""
+    proj_schema = pa.schema([("key", pa.int64()), ("seq", pa.int64())])
+    if slugs is None:
+        slugs = []
+    slug2code = {s: i for i, s in enumerate(slugs)}
 
     def proj(batch: pa.Table) -> pa.Table:
         # the reference accumulates only entities with >=1 applicable check
         # (src/sources/osm_source.py:37-43): sophox rows always, pbf rows iff
         # place is city/town/village under every shipped suite — last-wins
         # competes only among these
-        place = batch["place"].to_pandas()
-        origin = batch["origin"].to_pandas()
-        has_result = ((origin == "sophox")
-                      | place.isin(("city", "town", "village"))).to_numpy()
+        place = batch["place"].to_numpy(zero_copy_only=False)
+        origin = batch["origin"].to_numpy(zero_copy_only=False)
+        has_result = (origin == "sophox") | np.isin(
+            place.astype(object), ("city", "town", "village"))
         if not has_result.any():
             return proj_schema.empty_table()
-        df = pd.DataFrame({
-            "map_slug": batch["map_slug"].to_pandas()[has_result],
-            "osm_id": batch["osm_id"].to_pandas()[has_result],
-            "seq": batch["seq"].to_pandas()[has_result]})
-        g = df.groupby(["map_slug", "osm_id"], sort=False, as_index=False).agg(
-            n=("seq", "size"), mx=("seq", "max"))
-        return to_arrow(g, proj_schema)
+        ms = pd.Series(batch["map_slug"].to_numpy(zero_copy_only=False)
+                       [has_result])
+        codes = ms.map(slug2code)
+        if codes.isna().any():
+            missing = sorted(set(ms[codes.isna()]))
+            raise ValueError(
+                f"collision_keys_from_decoded: slugs {missing} not in the "
+                "partition list — pass the authoritative docs/ listing")
+        key = (codes.to_numpy(np.int64) << 44) | \
+            batch["osm_id"].to_numpy(zero_copy_only=False)[has_result]
+        return pa.table({"key": pa.array(key, type=pa.int64()),
+                         "seq": pa.array(
+                             batch["seq"].to_numpy(zero_copy_only=False)
+                             [has_result], type=pa.int64())})
 
-    # Combine the partials on the driver with numpy: one row per entity key
-    # (16 bytes) — a grouped-sort reduce here beats Ray's sort shuffle by an
-    # order of magnitude at single-node scale.  At cluster scale this becomes
-    # a tree-reduce over the same partials (size: #entities, not #rows).
     parts = decoded.map_batches(proj, batch_format="pyarrow").to_pandas()
-    slug_codes, slugs = pd.factorize(parts["map_slug"], sort=False)
-    key = slug_codes.astype(np.int64) * (np.int64(1) << 44) \
-        + parts["osm_id"].to_numpy()
-    order = np.argsort(key, kind="stable")
-    k, n, mx = key[order], parts["n"].to_numpy()[order], \
-        parts["mx"].to_numpy()[order]
+    k = parts["key"].to_numpy()
+    s = parts["seq"].to_numpy()
+    order = np.argsort(k, kind="stable")
+    k, s = k[order], s[order]
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-    n_sum = np.add.reduceat(n, starts)
-    mx_max = np.maximum.reduceat(mx, starts)
-    dup = n_sum > 1
+    counts = np.diff(np.r_[starts, len(k)])
+    mx_max = np.maximum.reduceat(s, starts) if len(k) else np.array([], int)
+    dup = counts > 1
     kk = k[starts[dup]]
+    inv = {i: s_ for s_, i in slug2code.items()}
     return pd.DataFrame({
-        "map_slug": pd.Series(slugs[(kk >> 44)]).astype(object),
+        "map_slug": pd.Series([inv[c] for c in (kk >> 44)], dtype=object),
         "osm_id": kk & ((np.int64(1) << 44) - 1),
         "max_seq": mx_max[dup]})
 
@@ -359,7 +373,8 @@ def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
     if dedup:
         ds = ds.materialize()
-        coll_ref = ray.put(collision_keys_from_decoded(ds))
+        coll_ref = ray.put(collision_keys_from_decoded(
+            ds, doc_partitions(data_dir)))
         ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
                             fn_kwargs={"collisions_ref": coll_ref})
     if with_pip:
@@ -380,9 +395,12 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
     """A1 (src/main.py:52-76): per map, #entities with ≥1 result, #error
     results, #fixable error results.
 
-    Three-level reduction, all vectorized: per-batch partials (map, id →
-    err/fix sums) → per-(map, id-bucket) distinct-entity counts → tiny
-    global groupby(map) sum."""
+    Two-level reduction: per-batch vectorized partials (map, id → err/fix
+    sums, one row per entity per batch) stream back as narrow Arrow blocks
+    and are combined on the driver with one pandas groupby — the partial
+    set is #entities × 4 narrow columns, so a driver combine beats a
+    distributed sort shuffle by an order of magnitude at single-node scale
+    (swap for a tree-reduce over the same partials on a real cluster)."""
     def partial(df: pd.DataFrame) -> pa.Table:
         err = (df["result"] == "CHECKED_ERROR")
         out = (pd.DataFrame({
@@ -390,26 +408,16 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
             "e": err.astype(np.int64),
             "f": (err & df["fixable"]).astype(np.int64)})
             .groupby(["map_name", "osm_id"], sort=False, as_index=False).sum())
-        out["_b"] = _bucket_of(out["osm_id"].to_numpy(), n_buckets)
         return to_arrow(out)
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        ent = g.groupby("osm_id", sort=False)[["e", "f"]].sum()
-        return to_arrow(pd.DataFrame({
-            "map_name": [g["map_name"].iat[0]],
-            "n_ent": [np.int64(len(ent))],
-            "n_err": [ent["e"].sum()],
-            "n_fix": [ent["f"].sum()],
-        }))
-
-    p = (flags.map_batches(partial, batch_format="pandas")
-         .groupby(["map_name", "_b"])
-         .map_groups(per_bucket, batch_format="pandas"))
-    agg = p.groupby("map_name").aggregate(
-        Sum("n_ent", alias_name="count_map_checks"),
-        Sum("n_err", alias_name="count_map_errors"),
-        Sum("n_fix", alias_name="count_map_fixable_errors"))
-    df = agg.to_pandas().sort_values("map_name").reset_index(drop=True)
+    parts = flags.map_batches(partial, batch_format="pandas").to_pandas()
+    ent = parts.groupby(["map_name", "osm_id"], sort=False,
+                        as_index=False)[["e", "f"]].sum()
+    df = ent.groupby("map_name", as_index=False).agg(
+        count_map_checks=("osm_id", "size"),
+        count_map_errors=("e", "sum"),
+        count_map_fixable_errors=("f", "sum"))
+    df = df.sort_values("map_name").reset_index(drop=True)
     for c in df.columns[1:]:
         df[c] = df[c].astype(np.int64)
     return df
@@ -422,11 +430,11 @@ def per_check_type(flags: rd.Dataset) -> pd.DataFrame:
         out = g.agg(n=("check_name", "size"),
                     n_err=("result", lambda s: int((s != "CHECKED_OK").sum())))
         return to_arrow(out.reset_index())
-    p = flags.map_batches(partial, batch_format="pandas")
-    agg = p.groupby("check_name").aggregate(
-        Sum("n", alias_name="count_total_checks"),
-        Sum("n_err", alias_name="count_total_errors"))
-    df = agg.to_pandas().sort_values("check_name").reset_index(drop=True)
+    # partials are ~#checks rows per batch — combine on the driver
+    p = flags.map_batches(partial, batch_format="pandas").to_pandas()
+    df = p.groupby("check_name", as_index=False).agg(
+        count_total_checks=("n", "sum"), count_total_errors=("n_err", "sum"))
+    df = df.sort_values("check_name").reset_index(drop=True)
     df["explanation"] = df["check_name"].map(
         lambda f: checks_mod.CHECKS[f].explanation)
     for c in ("count_total_checks", "count_total_errors"):

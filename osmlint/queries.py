@@ -58,10 +58,9 @@ def _decoded(data_dir: str, with_pip: bool) -> rd.Dataset:
     if with_pip:
         refs = pipeline.broadcast_refs(data_dir)
         ds = ds.map_batches(
-            pipeline.PipAssign, batch_format="pyarrow",
-            fn_constructor_kwargs={"countries_ref": refs["countries"],
-                                   "tiles_ref": refs["tiles"]},
-            concurrency=pipeline.auto_concurrency(1), batch_size=8192)
+            pipeline.pip_assign_batch, batch_format="pyarrow",
+            fn_kwargs={"countries_ref": refs["countries"],
+                       "tiles_ref": refs["tiles"]})
     return ds
 
 
