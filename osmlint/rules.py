@@ -88,6 +88,16 @@ def _adding_name(df: pd.DataFrame) -> pd.DataFrame:
     return _project(df, mask, namesr, "name", namesr)
 
 
+def _masked(values: pd.Series, mask: np.ndarray, kernel) -> np.ndarray:
+    """Apply an expensive transliteration kernel ONLY to masked rows — the
+    replace chains are multi-pass over every string, so transforming the
+    full column before the mask dominates generation/rule time."""
+    out = np.full(len(values), None, dtype=object)
+    if mask.any():
+        out[mask] = kernel(values[mask]).to_numpy(dtype=object)
+    return out
+
+
 def _adding_namesr(region: str):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         # sparql/adding_namesr_<region>.sparql: name + highway exist, latin
@@ -96,7 +106,7 @@ def _adding_namesr(region: str):
                 & translit.looks_serbian_latin(df["name"])
                 & ~translit.obviously_english(df["name"])
                 & _within(df, "adding_" + region))
-        fixed = translit.lat2cyr(df["name"]).to_numpy(dtype=object)
+        fixed = _masked(df["name"], mask, translit.lat2cyr)
         return _project(df, mask, df["name"].to_numpy(dtype=object), "name:sr", fixed)
     return fn
 
@@ -110,7 +120,7 @@ def _changing_namesr(df: pd.DataFrame) -> pd.DataFrame:
             & translit.looks_serbian_latin(df["name_sr"])
             & _within(df, "serbia"))
     namesr = df["name_sr"].to_numpy(dtype=object)
-    fixed = translit.lat2cyr(df["name_sr"]).to_numpy(dtype=object)
+    fixed = _masked(df["name_sr"], mask, translit.lat2cyr)
     return _project(df, mask, namesr, "name:sr", fixed)
 
 
@@ -120,7 +130,8 @@ def _checking_latn(region: str):
         # regional circle; correct = cyr2lat(name:sr);
         # (latin exists AND correct != current) OR (no latin AND name cyrillic)
         base = _notna(df, "name") & _notna(df, "name_sr") & _within(df, "checking_" + region)
-        correct = translit.cyr2lat(df["name_sr"])
+        correct = pd.Series(_masked(df["name_sr"], base, translit.cyr2lat),
+                            index=df.index)
         latin_exists = _notna(df, "name_sr_latn")
         differs = (correct.fillna("") != df["name_sr_latn"].fillna("")).to_numpy()
         mask = base & ((latin_exists & differs)
@@ -139,7 +150,7 @@ def _adding_int_name(df: pd.DataFrame) -> pd.DataFrame:
             & latn.str.contains("đ", case=False, na=False).to_numpy()
             & ~_notna(df, "int_name")
             & _within(df, "serbia"))
-    roman = translit.romanize(latn).to_numpy(dtype=object)
+    roman = _masked(latn, mask, translit.romanize)
     return _project(df, mask, latn.to_numpy(dtype=object), "int_name", roman)
 
 

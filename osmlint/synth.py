@@ -83,26 +83,28 @@ def synth_dir(sf_dir_or_sf, base: str | None = None) -> str:
 
 
 def _make_pool(rng: np.random.Generator, size: int):
-    """Cyrillic name pool + deterministic per-name variants."""
+    """Cyrillic name pool + deterministic per-name variants (vectorized —
+    the per-name Python loop made sf1 generation take minutes)."""
     n_syl = rng.integers(2, 4, size)
     two_word = rng.random(size) < 0.25
-    names = []
-    for i in range(size):
-        w = "".join(rng.choice(_CONS) + rng.choice(_VOWS) for _ in range(n_syl[i]))
-        name = w[0].upper() + w[1:]
-        if two_word[i]:
-            w2 = "".join(rng.choice(_CONS) + rng.choice(_VOWS) for _ in range(2))
-            name = name + " " + w2[0].upper() + w2[1:]
-        names.append(name)
+
+    def words(n, syls, max_syl):
+        syl = np.char.add(rng.choice(_CONS, (n, max_syl)),
+                          rng.choice(_VOWS, (n, max_syl)))
+        w = np.full(n, "", dtype=f"U{2 * max_syl}")
+        for i in range(max_syl):
+            w = np.char.add(w, np.where(syls > i, syl[:, i], ""))
+        return np.char.capitalize(w)
+
+    first = words(size, n_syl, 3)
+    second = words(size, np.full(size, 2), 2)
+    names_u = np.where(two_word, np.char.add(np.char.add(first, " "), second),
+                       first)
+    names = pd.Series(names_u.astype(object))
     # titles must be unique (wiki_ref is keyed by title): disambiguate dups
-    seen: dict[str, int] = {}
-    for i, nm in enumerate(names):
-        if nm in seen:
-            seen[nm] += 1
-            names[i] = f"{nm} {seen[nm]}"
-        else:
-            seen[nm] = 0
-    cyr = np.array(names, dtype=object)
+    dup_k = names.groupby(names, sort=False).cumcount()
+    names = names.where(dup_k == 0, names + " " + dup_k.astype(str))
+    cyr = names.to_numpy(dtype=object)
     lat = translit.cyr2lat(pd.Series(cyr)).to_numpy(dtype=object)
     bad_lat = np.array([s + "2" for s in lat], dtype=object)          # cf. test 'foo2'
     lat_cyr_mix = np.array([(s.replace("a", "а", 1) if "a" in s else s + "а")
