@@ -7,14 +7,18 @@ src/main.py:223-232 — here parallelism is per block, map identity is data):
 * documents are read with column pruning (doc_id, spans only);
 * decode + cell indexing are stateless ``map_batches`` tasks over zero-copy
   Arrow batches;
-* the PIP tile join and the check kernels are actor pools whose state
-  (STRtree of admin polygons, wiki/wikidata lookup tables, transliteration
-  tables) is built once per actor from a ``ray.put`` broadcast;
-* per-source last-wins dedup (src/sources/osm_source.py:43) and the
-  cross-source first-wins merge (src/main.py:95-112) are explicit keyed
-  shuffles with a deterministic ordering column (seq / map_order);
+* the PIP tile join and the check kernels are TASK-based ``map_batches``
+  stages with a per-worker state cache (``_cached``): Ray fuses the whole
+  chain into one task per block, warm workers reuse the STRtree / lookup
+  state built from ``ray.put`` broadcasts, and no stage reserves CPUs;
+* per-source last-wins dedup (src/sources/osm_source.py:43) is a broadcast
+  anti-join — collision keys come from one narrow numeric reduction, the
+  big stream never shuffles; the cross-source first-wins merge
+  (src/main.py:95-112) is a bucketed keyed shuffle with a deterministic
+  ordering column (map_order);
 * report aggregations (src/main.py:52-92) pre-aggregate inside map_batches
-  and reduce over the tiny per-key partials.
+  and the tiny per-key partials are combined on the driver (tree-reduce at
+  cluster scale).
 """
 
 from __future__ import annotations
@@ -471,7 +475,10 @@ def merge_overall(flags: rd.Dataset) -> rd.Dataset:
         kept = g.drop_duplicates(["osm_id", "check_name"], keep="first").copy()
         kept["display_name"] = kept["osm_id"].map(firsts["display_name"]).to_numpy()
         kept["entity_type"] = kept["osm_id"].map(firsts["entity_type"]).to_numpy()
-        return kept.drop(columns=["map_order", "_b"])
+        kept = kept.drop(columns=["map_order", "_b"])
+        merged_schema = pa.schema(list(schema.FLAGS)
+                                  + [pa.field("map_overall", pa.string())])
+        return to_arrow(kept[[f.name for f in merged_schema]], merged_schema)
 
     with_overall = flags.map_batches(add_overall, batch_format="pandas")
     return with_overall.groupby(["map_overall", "_b"]).map_groups(
