@@ -125,7 +125,10 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
                    group_res: int = 8,
                    n_buckets: int = N_BUCKETS,
                    max_name_freq: int = MAX_NAME_FREQ) -> rd.Dataset:
-    ds = read_documents(data_dir)
+    import os
+    # read ONLY the target map shard (hive pruning at the read)
+    ds = rd.read_parquet(os.path.join(data_dir, "docs", f"map={map_slug}"),
+                         columns=["doc_id", "spans"])
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
 
     def named_ctv(batch: pa.Table) -> pa.Table:
