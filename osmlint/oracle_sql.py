@@ -677,3 +677,29 @@ SELECT osm_id, entity_type, lat, lon, {name} AS name,
        {tag1} AS tag_1, {val} AS val_1
 FROM flat WHERE map_slug = 'serbia_pbf' AND {mask}
 ORDER BY osm_id"""
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector oracles (density band over the quad-cell grid)
+# ---------------------------------------------------------------------------
+
+def raster_sample_sql(d: str, res: int) -> str:
+    cell = cell_sql(res)
+    return f"""WITH {base_ctes(d)},
+cellc AS (SELECT {cell} AS cell_id, CAST(count(*) AS BIGINT) AS density
+          FROM base GROUP BY 1)
+SELECT b.doc_id, {cell} AS cell_id, c.density
+FROM base b JOIN cellc c ON c.cell_id = {cell}
+ORDER BY b.doc_id"""
+
+
+def raster_zonal_stats_sql(d: str, res: int) -> str:
+    cell = cell_sql(res)
+    return f"""WITH {pip_assign_cte(d)},
+cellc AS (SELECT {cell} AS cell_id, CAST(count(*) AS BIGINT) AS density
+          FROM base GROUP BY 1)
+SELECT coalesce(p.pip_tile_name, '(none)') AS tile_name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c.density) AS DOUBLE) / count(*) AS mean_density
+FROM pip p JOIN cellc c ON c.cell_id = {cell_sql(res, 'p.lat', 'p.lon')}
+GROUP BY 1 ORDER BY 1"""

@@ -176,6 +176,16 @@ def media_features(sf_dir: str):
     return media.media_features(_synth(sf_dir))
 
 
+def raster_sample(sf_dir: str):
+    from . import raster
+    return raster.sample(_synth(sf_dir))
+
+
+def raster_zonal_stats(sf_dir: str):
+    from . import raster
+    return raster.zonal_stats(_synth(sf_dir))
+
+
 def fix_plan(sf_dir: str):
     from . import fixes
     return fixes.fix_plan_dataset(_synth(sf_dir))
@@ -236,6 +246,8 @@ def ray_queries() -> dict:
         "events_sessionize": events_sessionize,
         "media_features": media_features,
         "fix_plan": fix_plan,
+        "raster_sample": raster_sample,
+        "raster_zonal_stats": raster_zonal_stats,
         **{f"rule_{sl.removeprefix('sophox_')}": _rule_query(sl)
            for sl in RULE_QUERY_SLUGS},
     }
@@ -264,6 +276,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "media_features": oracle_sql.media_features_sql(d),
         "fix_plan": oracle_sql.fix_plan_sql(d),
+        "raster_sample": oracle_sql.raster_sample_sql(d, CELL_RES),
+        "raster_zonal_stats": oracle_sql.raster_zonal_stats_sql(d, CELL_RES),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

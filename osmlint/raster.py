@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""Raster ↔ vector operators over the quad-cell grid (north-rule item).
+
+A "raster" here is the dense-grid view of the document distribution: one
+value per quad cell at CELL_RES (the same SQL-expressible cell id the rest
+of the engine shuffles on), carried as a (cell_id, value) table — the
+sparse encoding of a single-band raster.
+
+* ``rasterize``  — vector → raster: per-batch cell-count partials combined
+  into the density band (driver combine; tree-reduce at cluster scale).
+* ``sample``     — raster → vector: annotate every doc with the raster
+  value at its location (broadcast the small band; vectorized gather —
+  never a shuffle of the doc stream).
+* ``zonal_stats``— raster × polygons: per admin tile, member-doc count and
+  the mean sampled density (PIP assignment + small aggregates)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from . import pipeline
+
+
+def _decoded(data_dir: str) -> rd.Dataset:
+    ds = pipeline.read_documents(data_dir)
+    return ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+
+
+def rasterize(data_dir: str) -> pd.DataFrame:
+    """Density band: docs per cell at CELL_RES → (cell_id, density)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+    parts = _decoded(data_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    band = parts.groupby("cell_id", as_index=False)["n"].sum()
+    band = band.rename(columns={"n": "density"})
+    band["density"] = band["density"].astype(np.int64)
+    return band.sort_values("cell_id").reset_index(drop=True)
+
+
+def sample(data_dir: str) -> rd.Dataset:
+    """Raster → vector: each doc gets the density of its own cell."""
+    band = rasterize(data_dir)
+    band_ref = ray.put(band.set_index("cell_id")["density"])
+
+    def gather(batch: pa.Table, band_ref) -> pa.Table:
+        b = pipeline._resolve(band_ref)
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        dens = b.reindex(cells).fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "cell_id": batch["cell_id"],
+            "density": pa.array(dens, type=pa.int64())})
+
+    return _decoded(data_dir).map_batches(
+        gather, batch_format="pyarrow", fn_kwargs={"band_ref": band_ref})
+
+
+def zonal_stats(data_dir: str) -> pd.DataFrame:
+    """Per okrug tile: member docs and mean sampled density (the mean is
+    an exact-int sum / exact-int count — bit-identical to the SQL oracle,
+    no rounding needed)."""
+    band = rasterize(data_dir)
+    band_ref = ray.put(band.set_index("cell_id")["density"])
+    refs = pipeline.broadcast_refs(data_dir)
+
+    def partial(batch: pa.Table, band_ref) -> pa.Table:
+        b = pipeline._resolve(band_ref)
+        df = batch.select(["cell_id", "tile_name"]).to_pandas()
+        df["tile_name"] = df["tile_name"].fillna("(none)")
+        df["density"] = b.reindex(df["cell_id"].to_numpy()).fillna(0) \
+            .to_numpy(np.int64)
+        g = df.groupby("tile_name", sort=False, as_index=False).agg(
+            n=("density", "size"), s=("density", "sum"))
+        return pipeline.to_arrow(g)
+
+    ds = _decoded(data_dir).map_batches(
+        pipeline.pip_assign_batch, batch_format="pyarrow",
+        fn_kwargs={"countries_ref": refs["countries"],
+                   "tiles_ref": refs["tiles"]})
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           fn_kwargs={"band_ref": band_ref}).to_pandas()
+    out = parts.groupby("tile_name", as_index=False)[["n", "s"]].sum()
+    out["n_docs"] = out["n"].astype(np.int64)
+    out["mean_density"] = out["s"] / out["n"]
+    return out[["tile_name", "n_docs", "mean_density"]] \
+        .sort_values("tile_name").reset_index(drop=True)
