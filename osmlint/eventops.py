@@ -98,3 +98,52 @@ def sessionize(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
            .groupby("_b").map_groups(sessions, batch_format="pandas"))
     df = res.to_pandas()
     return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+ASOF_SOURCES = ("view", "click")
+
+
+def asof_attribution(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """As-of join (the windowed/ordered custom operator Ray Data lacks):
+    each purchase attributed to the user's most recent STRICTLY-prior
+    view/click.  user-hash-bucket groupby colocates each user's events;
+    inside a group one vectorized ``pandas.merge_asof`` does the ordered
+    backward search — no per-event Python, no global sort."""
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % n_buckets
+        return batch.append_column("_b", pa.array(b, type=pa.int64()))
+
+    def join(g: pd.DataFrame) -> pa.Table:
+        p = g[g["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        s = g[g["event_type"].isin(ASOF_SOURCES)].sort_values("ts",
+                                                              kind="stable")
+        m = pd.merge_asof(
+            p, s, on="ts", by="user_id", direction="backward",
+            allow_exact_matches=False, suffixes=("", "_src"))
+        out = pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "ts": m["ts"],
+            "src_event_id": m["event_id_src"],
+            "src_type": m["event_type_src"],
+        })
+        return to_arrow(out, pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("src_event_id", pa.int64()),
+            ("src_type", pa.string())]))
+
+    res = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_b").map_groups(join, batch_format="pandas"))
+    df = res.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                           "user_id": pd.Series(dtype=np.int64),
+                           "ts": pd.Series(dtype="datetime64[us]"),
+                           "src_event_id": pd.Series(dtype="Int64"),
+                           "src_type": pd.Series(dtype=object)})
+    return df.sort_values("event_id").reset_index(drop=True)

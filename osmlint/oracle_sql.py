@@ -703,3 +703,13 @@ SELECT coalesce(p.pip_tile_name, '(none)') AS tile_name,
        CAST(sum(c.density) AS DOUBLE) / count(*) AS mean_density
 FROM pip p JOIN cellc c ON c.cell_id = {cell_sql(res, 'p.lat', 'p.lon')}
 GROUP BY 1 ORDER BY 1"""
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       s.event_id AS src_event_id, s.event_type AS src_type
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events
+                WHERE event_type IN ('view', 'click')) s
+  ON p.user_id = s.user_id AND s.ts < p.ts
+ORDER BY p.event_id"""

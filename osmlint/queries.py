@@ -166,6 +166,11 @@ def events_window(sf_dir: str):
     return eventops.window_agg(sf_dir)
 
 
+def events_asof_attribution(sf_dir: str):
+    from . import eventops
+    return eventops.asof_attribution(sf_dir)
+
+
 def events_sessionize(sf_dir: str):
     from . import eventops
     return eventops.sessionize(sf_dir)
@@ -244,6 +249,7 @@ def ray_queries() -> dict:
         "embedding_cosine_pairs_lsh": embedding_cosine_pairs_lsh,
         "events_window": events_window,
         "events_sessionize": events_sessionize,
+        "events_asof_attribution": events_asof_attribution,
         "media_features": media_features,
         "fix_plan": fix_plan,
         "raster_sample": raster_sample,
@@ -274,6 +280,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "embedding_cosine_pairs": oracle_sql.cosine_pairs_sql(COS_TAU),
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
+        "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,
         "media_features": oracle_sql.media_features_sql(d),
         "fix_plan": oracle_sql.fix_plan_sql(d),
         "raster_sample": oracle_sql.raster_sample_sql(d, CELL_RES),

@@ -107,3 +107,28 @@ def test_topk_ivf_recall(emb_dir):
     apx1 = ann.topk_neighbors_ivf(emb_dir, k=3, n_queries=1,
                                   n_lists=4, nprobe=1)
     assert apx1.iloc[0]["neighbor_id"] == 2
+
+
+def test_asof_attribution(ev_dir):
+    out = eventops.asof_attribution(ev_dir)
+    # purchases fixture has none -> empty but typed
+    assert list(out.columns) == ["event_id", "user_id", "ts",
+                                 "src_event_id", "src_type"]
+    # constructed case: purchase after view+click picks the LATEST prior
+    import numpy as np, pandas as pd, pyarrow as pa, pyarrow.parquet as pq, os
+    d = os.path.dirname(ev_dir) + "/ev_asof"
+    os.makedirs(d, exist_ok=True)
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:20",
+                              "2024-01-01 10:30", "2024-01-01 09:00"]),
+        "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+        "event_type": ["view", "click", "purchase", "purchase"],
+        "value": [0.0] * 4, "props": ["{}"] * 4})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+    out = eventops.asof_attribution(d)
+    p1 = out[out.event_id == 2].iloc[0]
+    assert p1["src_event_id"] == 1 and p1["src_type"] == "click"
+    p2 = out[out.event_id == 3].iloc[0]      # user 2: no prior source
+    assert pd.isna(p2["src_event_id"])
