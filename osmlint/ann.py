@@ -108,55 +108,109 @@ def cosine_pairs(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
 
 
 N_TABLES = 8
-N_BITS = 12
-_rng = np.random.default_rng(77)
+N_BITS = 8          # raise with log2(n) at scale so buckets stay bounded
+LSH_SEED = 77
+_PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+MAX_BUCKET = 4096   # skip-and-log guard against degenerate buckets
 
 
-def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64) -> pd.DataFrame:
-    """Scale path: random-hyperplane LSH buckets + exact verify in-bucket."""
-    planes = _rng.standard_normal((N_TABLES, N_BITS, dim))
+def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
+                     num_partitions: int = 8) -> pd.DataFrame:
+    """Scale path for near-duplicate pair mining: random-hyperplane LSH.
+
+    Shuffle shape (the 100 TB story): the signature pass emits ONLY
+    ``(table, sig, vec_id)`` — 24-byte rows, never the vector payload — with
+    multiprobe (each of the N_BITS single-bit flips is also emitted, both
+    sides, so any pair within Hamming distance 2 in some table collides:
+    per-table hit P(d<=2), recall ~0.994 at tau=0.5 / 8 bits x 8 tables).
+    Buckets yield candidate id pairs, deduped by a distributed groupby, and
+    the exact-cosine verify joins the embeddings back per side with Ray
+    Data's hash join — candidate volume, not input volume, drives the
+    verify cost.  Hyperplanes are freshly seeded per call (deterministic
+    across calls and retries)."""
+    planes = np.random.default_rng(LSH_SEED).standard_normal(
+        (N_TABLES, N_BITS, dim))
     planes_ref = ray.put(planes)
+    bit_flips = (np.uint64(1) << np.arange(N_BITS, dtype=np.uint64))
 
     def sign_batch(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, m = _batch_matrix(batch)
         mn = _normalize(m)
-        out_t, out_sig, out_id, out_vec = [], [], [], []
+        n = len(ids)
+        out_t, out_sig, out_id = [], [], []
         for t in range(N_TABLES):
             bits = (mn @ pl[t].T) > 0                          # (n, N_BITS)
             sig = (bits.astype(np.uint64)
                    << np.arange(N_BITS, dtype=np.uint64)).sum(axis=1)
-            out_t.append(np.full(len(ids), t, dtype=np.int64))
-            out_sig.append(sig.astype(np.int64))
-            out_id.append(ids)
-            out_vec.append(mn)
+            # exact sig + every 1-bit flip (multiprobe, both sides => d<=2)
+            probes = np.concatenate([sig[:, None], sig[:, None] ^ bit_flips],
+                                    axis=1)                    # (n, 1+bits)
+            out_t.append(np.full(n * (N_BITS + 1), t, dtype=np.int64))
+            out_sig.append(probes.reshape(-1).astype(np.int64))
+            out_id.append(np.repeat(ids, N_BITS + 1))
         return pa.table({
             "table": pa.array(np.concatenate(out_t)),
             "sig": pa.array(np.concatenate(out_sig)),
-            "vec_id": pa.array(np.concatenate(out_id)),
-            "vec": pa.array(list(np.concatenate(out_vec, axis=0)),
-                            type=pa.list_(pa.float64()))})
+            "vec_id": pa.array(np.concatenate(out_id))})
 
-    def verify(g: pd.DataFrame, tau: float) -> pa.Table:
-        g = g.sort_values("vec_id").drop_duplicates("vec_id")
-        ids = g["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pa.table({"vec_a": pa.array([], type=pa.int64()),
-                             "vec_b": pa.array([], type=pa.int64())})
-        m = np.stack(g["vec"].to_numpy())
-        sims = m @ m.T
-        i, j = np.nonzero(np.triu(sims >= tau, k=1))
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        ids = np.unique(g["vec_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > MAX_BUCKET:
+            return _PAIR_SCHEMA.empty_table()
+        i, j = np.triu_indices(len(ids), k=1)
         return pa.table({"vec_a": pa.array(ids[i], type=pa.int64()),
                          "vec_b": pa.array(ids[j], type=pa.int64())})
 
-    ds = read_embeddings(sf_dir).map_batches(sign_batch, batch_format="pyarrow")
-    pairs = ds.groupby(["table", "sig"]).map_groups(
-        verify, batch_format="pandas", fn_kwargs={"tau": tau})
-    df = pairs.to_pandas()
+    sigs = read_embeddings(sf_dir).map_batches(sign_batch,
+                                               batch_format="pyarrow")
+    cand = sigs.groupby(["table", "sig"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # distributed dedup of cross-table duplicate candidates: a vectorized
+    # hash aggregate (one row per pair), NOT map_groups (a Python call per
+    # pair-group is the slow path)
+    from ray.data.aggregate import Count
+    cand = cand.groupby(["vec_a", "vec_b"]) \
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # acero (the join kernel) rejects list<float> non-key payloads:
+        # carry the normalized vector as a fixed-width binary blob instead
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m).astype(np.float32)
+        blobs = pa.array([r.tobytes() for r in mn], type=pa.binary())
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                         "emb": blobs})
+
+    emb = read_embeddings(sf_dir).map_batches(pack, batch_format="pyarrow")
+    joined = cand.join(emb, "inner", num_partitions,
+                       on=("vec_a",), right_on=("vec_id",))
+    joined = joined.join(emb, "inner", num_partitions,
+                         on=("vec_b",), right_on=("vec_id",),
+                         left_suffix="_l", right_suffix="_r")
+
+    def verify(batch: pa.Table, tau: float) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        cols = batch.column_names
+        ea = "emb_l" if "emb_l" in cols else "emb"
+        eb = "emb_r" if "emb_r" in cols else "emb"
+        a = batch["vec_a"].to_numpy(zero_copy_only=False)
+        b = batch["vec_b"].to_numpy(zero_copy_only=False)
+        ma = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in batch[ea].to_pylist()]).astype(np.float64)
+        mb = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in batch[eb].to_pylist()]).astype(np.float64)
+        sims = (ma * mb).sum(axis=1)
+        keep = sims >= tau
+        return pa.table({"vec_a": pa.array(a[keep], type=pa.int64()),
+                         "vec_b": pa.array(b[keep], type=pa.int64())})
+
+    df = joined.map_batches(verify, batch_format="pyarrow",
+                            fn_kwargs={"tau": tau}).to_pandas()
     if df.empty:
         df = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
                            "vec_b": pd.Series(dtype=np.int64)})
-    df = df.drop_duplicates(["vec_a", "vec_b"])
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
@@ -193,17 +247,27 @@ def topk_neighbors_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
     broadcast centroid matrix, queries probed against their ``nprobe``
     nearest lists only.  groupby(list) colocates each list's vectors; the
     per-list kernel is one matmul.  Approximate (rows-only check) —
-    ``topk_neighbors`` is the exact baseline."""
+    ``topk_neighbors`` is the exact baseline.
+
+    No driver-side full-table read: the k-means training sample is a
+    ``limit(IVF_SAMPLE)`` slice of the streamed Dataset (only the needed
+    blocks are pulled) and the query vectors come from a row-group-pruned
+    parquet read filtered to ``vec_id < n_queries``."""
     import os
 
     import pyarrow.parquet as pq
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    all_ids, all_mat = _batch_matrix(tbl)
-    sample = _normalize(all_mat[:IVF_SAMPLE])
+    sample_df = read_embeddings(sf_dir).limit(IVF_SAMPLE).to_pandas()
+    s_ids = sample_df["vec_id"].to_numpy().astype(np.int64)
+    s_mat = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    sample = _normalize(s_mat)
     cent = _kmeans(sample, n_lists, IVF_ITERS)
-    q_ids = all_ids[:n_queries]
-    q_mat = _normalize(all_mat[:n_queries])
+    q_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", n_queries)])
+    q_ids, q_raw = _batch_matrix(q_tbl)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    q_mat = _normalize(q_raw[order])
     # queries probe their nprobe nearest lists
     qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     probe_lists = np.argsort(qd, axis=1)[:, :nprobe]          # (nq, nprobe)

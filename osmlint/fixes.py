@@ -31,10 +31,9 @@ from . import checks as checks_mod
 from . import config as config_mod
 from . import translit
 from .geo import haversine_km
-from .pipeline import (PipAssign, _resolve, broadcast_refs,
-                       collision_keys_from_decoded, decode_and_index,
-                       dedup_filter, doc_partitions, read_documents,
-                       to_arrow)
+from .pipeline import (PipAssign, _resolve, broadcast_refs, collision_keys,
+                       decode_and_index, dedup_filter, doc_partitions,
+                       read_documents, to_arrow)
 
 FIXES_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("map_name", pa.string()),
@@ -118,7 +117,13 @@ def fix_plan_batch(batch: pa.Table, wiki_ref_ref=None, wikidata_ref_ref=None,
         rows.append(pd.DataFrame({
             "doc_id": sub["doc_id"].to_numpy()[idx],
             "map_name": mc.map_name,
-            "check_name": check, "tag": tag, "action": action,
+            "check_name": check,
+            # tag may be an array the full group length (GenericSophox passes
+            # t_arr): subset it like value/message, else a batch where the
+            # action mask is a strict subset raises a length mismatch
+            "tag": np.asarray(tag, dtype=object)[idx]
+            if not isinstance(tag, str) else tag,
+            "action": action,
             "new_value": np.asarray(value, dtype=object)[idx]
             if not isinstance(value, str) else value,
             "message": np.asarray(message, dtype=object)[idx]
@@ -287,9 +292,7 @@ def fix_plan_dataset(data_dir: str) -> rd.Dataset:
     links_ref = ray.put(links)
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
-    ds = ds.materialize()
-    coll_ref = ray.put(collision_keys_from_decoded(
-        ds, doc_partitions(data_dir)))
+    coll_ref = ray.put(collision_keys(data_dir, doc_partitions(data_dir)))
     ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
                         fn_kwargs={"collisions_ref": coll_ref})
     from .pipeline import pip_assign_batch

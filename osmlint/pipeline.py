@@ -45,9 +45,14 @@ def to_arrow(df: pd.DataFrame, arrow_schema: pa.Schema | None = None) -> pa.Tabl
     pandas blocks is ~25x slower (measured: 2M-row int groupby 269 s pandas
     vs 10.8 s Arrow).  An explicit schema keeps empty blocks type-stable."""
     if arrow_schema is not None:
-        return pa.Table.from_pandas(df, schema=arrow_schema,
-                                    preserve_index=False)
-    return pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.Table.from_pandas(df, schema=arrow_schema,
+                                 preserve_index=False)
+    else:
+        t = pa.Table.from_pandas(df, preserve_index=False)
+    # strip the pandas metadata blob: blocks from different workers then
+    # share ONE hashable schema (Ray's schema-dedup otherwise logs
+    # "Failed to hash the schemas ... unhashable type: 'dict'")
+    return t.replace_schema_metadata(None)
 
 
 def _resolve(ref):
@@ -255,64 +260,130 @@ def _bucket_arrow(n_buckets: int):
     return add
 
 
-def collision_keys_from_decoded(decoded: rd.Dataset,
-                                slugs: list[str] | None = None) -> pd.DataFrame:
-    """The SMALL side of the dedup: (map_slug, osm_id, max_seq) for entity
-    ids that occur more than once within a map partition (reference keys its
-    accumulator by bare id, last write wins — src/sources/osm_source.py:43).
+_KEY_SCHEMA = pa.schema([("key", pa.int64()), ("seq", pa.int64()),
+                         ("_b", pa.int64())])
+_DUP_SCHEMA = pa.schema([("key", pa.int64()), ("max_seq", pa.int64())])
 
-    Runs over the already-decoded stream: each batch emits one NUMERIC
-    ``(slug_code << 44 | osm_id, seq)`` pair per result-producing doc (the
-    slug universe is the known partition list, so keys are exact), and the
-    driver reduces them with one numpy sort — a batch holds each doc once,
-    so no per-batch groupby is needed either.  At cluster scale this becomes
-    a tree-reduce over the same numeric partials."""
-    proj_schema = pa.schema([("key", pa.int64()), ("seq", pa.int64())])
-    if slugs is None:
-        slugs = []
-    slug2code = {s: i for i, s in enumerate(slugs)}
 
-    def proj(batch: pa.Table) -> pa.Table:
-        # the reference accumulates only entities with >=1 applicable check
-        # (src/sources/osm_source.py:37-43): sophox rows always, pbf rows iff
-        # place is city/town/village under every shipped suite — last-wins
-        # competes only among these
-        place = batch["place"].to_numpy(zero_copy_only=False)
-        origin = batch["origin"].to_numpy(zero_copy_only=False)
-        has_result = (origin == "sophox") | np.isin(
-            place.astype(object), ("city", "town", "village"))
-        if not has_result.any():
-            return proj_schema.empty_table()
-        ms = pd.Series(batch["map_slug"].to_numpy(zero_copy_only=False)
-                       [has_result])
-        codes = ms.map(slug2code)
-        if codes.isna().any():
-            missing = sorted(set(ms[codes.isna()]))
-            raise ValueError(
-                f"collision_keys_from_decoded: slugs {missing} not in the "
-                "partition list — pass the authoritative docs/ listing")
-        key = (codes.to_numpy(np.int64) << 44) | \
-            batch["osm_id"].to_numpy(zero_copy_only=False)[has_result]
-        return pa.table({"key": pa.array(key, type=pa.int64()),
-                         "seq": pa.array(
-                             batch["seq"].to_numpy(zero_copy_only=False)
-                             [has_result], type=pa.int64())})
+def decode_keys(batch: pa.Table) -> pa.Table:
+    """Narrow Arrow-native decode for the collision pre-pass: only
+    (map_slug, osm_id, seq, origin, place).  No tag scatters and no per-row
+    Python doc_id parsing — ``split_pattern`` + ``list_element`` do the id
+    parse in C.  Falls back to the full (malformed-tolerant) decode if an
+    id fails the int cast."""
+    import pyarrow.compute as pc
+    try:
+        parts = pc.split_pattern(batch["doc_id"].combine_chunks(), "/")
+        slug = pc.list_element(parts, 0)
+        osm = pc.cast(pc.list_element(parts, 2), pa.int64())
+    except pa.ArrowInvalid:
+        full = spans.decode_batch(batch)
+        return full.select(["map_slug", "osm_id", "seq", "origin", "place"])
+    spans_col = batch["spans"].combine_chunks()
+    flat = pc.list_flatten(spans_col)
+    parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+    kind_dict = pc.dictionary_encode(pc.struct_field(flat, "kind"))
+    codes = kind_dict.indices.to_numpy(zero_copy_only=False)
+    kind_of = {k: i for i, k in enumerate(kind_dict.dictionary.to_pylist())}
+    texts = pc.struct_field(flat, "text").to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    seq = np.full(n, -1, dtype=np.int64)
+    m = codes == kind_of.get("seq", -1)
+    seq[parents[m]] = texts[m].astype(np.int64)
 
-    parts = decoded.map_batches(proj, batch_format="pyarrow").to_pandas()
-    k = parts["key"].to_numpy()
-    s = parts["seq"].to_numpy()
+    def grab(kind: str) -> np.ndarray:
+        c = kind_of.get(kind)
+        out = np.full(n, None, dtype=object)
+        if c is not None:
+            m = codes == c
+            out[parents[m]] = texts[m]
+        return out
+
+    return pa.table({
+        "map_slug": slug,
+        "osm_id": osm,
+        "seq": pa.array(seq, type=pa.int64()),
+        "origin": pa.array(grab("origin"), type=pa.string()),
+        "place": pa.array(grab("tag:place"), type=pa.string())})
+
+
+def _collision_proj(batch: pa.Table, slug2code: dict,
+                    n_buckets: int) -> pa.Table:
+    """(key = slug_code<<44 | osm_id, seq, hash bucket) for every
+    result-producing doc.  The reference accumulates only entities with >=1
+    applicable check (src/sources/osm_source.py:37-43): sophox rows always,
+    pbf rows iff place is city/town/village under every shipped suite —
+    last-wins competes only among these."""
+    t = decode_keys(batch)
+    place = t["place"].to_numpy(zero_copy_only=False)
+    origin = t["origin"].to_numpy(zero_copy_only=False)
+    has_result = (origin == "sophox") | np.isin(
+        place.astype(object), ("city", "town", "village"))
+    if not has_result.any():
+        return _KEY_SCHEMA.empty_table()
+    ms = pd.Series(t["map_slug"].to_numpy(zero_copy_only=False)[has_result])
+    codes = ms.map(slug2code)
+    if codes.isna().any():
+        missing = sorted(set(ms[codes.isna()]))
+        raise ValueError(
+            f"collision_keys: slugs {missing} not in the "
+            "partition list — pass the authoritative docs/ listing")
+    key = (codes.to_numpy(np.int64) << 44) | \
+        t["osm_id"].to_numpy(zero_copy_only=False)[has_result]
+    return pa.table({
+        "key": pa.array(key, type=pa.int64()),
+        "seq": pa.array(t["seq"].to_numpy(zero_copy_only=False)[has_result],
+                        type=pa.int64()),
+        "_b": pa.array(_bucket_of(key, n_buckets), type=pa.int64())})
+
+
+def _dup_in_bucket(t: pa.Table) -> pa.Table:
+    """Per-bucket numpy reduce: emit ONLY keys seen more than once (+ their
+    max seq).  Output is O(#collisions in bucket), not O(#docs)."""
+    k = t["key"].to_numpy(zero_copy_only=False)
+    s = t["seq"].to_numpy(zero_copy_only=False)
+    if not len(k):
+        return _DUP_SCHEMA.empty_table()
     order = np.argsort(k, kind="stable")
     k, s = k[order], s[order]
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     counts = np.diff(np.r_[starts, len(k)])
-    mx_max = np.maximum.reduceat(s, starts) if len(k) else np.array([], int)
+    mx = np.maximum.reduceat(s, starts)
     dup = counts > 1
-    kk = k[starts[dup]]
+    return pa.table({"key": pa.array(k[starts[dup]], type=pa.int64()),
+                     "max_seq": pa.array(mx[dup], type=pa.int64())})
+
+
+def collision_keys(data_dir: str, slugs: list[str],
+                   *, read_path: str | None = None,
+                   n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+    """The SMALL side of the last-wins dedup: (map_slug, osm_id, max_seq)
+    for entity ids occurring more than once within a map partition
+    (reference keys its accumulator by bare id, last write wins —
+    src/sources/osm_source.py:43).
+
+    Fully distributed: a streaming NARROW pre-pass (``decode_keys`` — no
+    tag scatters) projects each doc to one 24-byte (key, seq, bucket) row,
+    a ``groupby(bucket)`` shuffle of those narrow Arrow rows colocates each
+    hash bucket, and the per-bucket numpy reduce emits ONLY duplicated
+    keys.  The driver sees O(#collisions), never O(#docs); the big decoded
+    stream is neither shuffled nor materialized (re-reading the pruned
+    parquet beats pinning the whole decode in the object store at scale)."""
+    slug2code = {s: i for i, s in enumerate(slugs)}
+    path = read_path or os.path.join(data_dir, "docs")
+    ds = rd.read_parquet(path, columns=["doc_id", "spans"])
+    parts = ds.map_batches(_collision_proj, batch_format="pyarrow",
+                           fn_kwargs={"slug2code": slug2code,
+                                      "n_buckets": n_buckets})
+    dups = parts.groupby("_b").map_groups(
+        _dup_in_bucket, batch_format="pyarrow").to_pandas()
     inv = {i: s_ for s_, i in slug2code.items()}
+    kk = dups["key"].to_numpy() if len(dups) else np.array([], dtype=np.int64)
     return pd.DataFrame({
         "map_slug": pd.Series([inv[c] for c in (kk >> 44)], dtype=object),
         "osm_id": kk & ((np.int64(1) << 44) - 1),
-        "max_seq": mx_max[dup]})
+        "max_seq": (dups["max_seq"].to_numpy() if len(dups)
+                    else np.array([], dtype=np.int64))})
 
 
 def dedup_filter(batch: pa.Table, collisions_ref) -> pa.Table:
@@ -363,9 +434,10 @@ def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
     """The flagship lint pipeline as a lazy Dataset.
 
     Dedup is a broadcast anti-join applied BEFORE the check kernels: the
-    decoded stream is materialized once, the collision table (small side)
-    is aggregated from 4 narrow columns of it, broadcast, and applied as a
-    vectorized filter — the big stream itself never shuffles.
+    collision table (small side) comes from a separate streaming narrow
+    pre-pass (``collision_keys`` — distributed bucket reduce, driver sees
+    only collisions), is broadcast, and applied as a vectorized filter —
+    the big stream itself never shuffles and is never materialized.
 
     All stages are TASK-based ``map_batches`` with per-worker state caching
     (``_cached``): Ray fuses the chain into one task per block, warm worker
@@ -376,9 +448,7 @@ def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
     if dedup:
-        ds = ds.materialize()
-        coll_ref = ray.put(collision_keys_from_decoded(
-            ds, doc_partitions(data_dir)))
+        coll_ref = ray.put(collision_keys(data_dir, doc_partitions(data_dir)))
         ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
                             fn_kwargs={"collisions_ref": coll_ref})
     if with_pip:
@@ -395,16 +465,24 @@ def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
 # report aggregations (A1–A3, src/main.py:44-123)
 # ---------------------------------------------------------------------------
 
+_SUMMARY_PARTIAL = pa.schema([
+    ("map_name", pa.string()), ("osm_id", pa.int64()),
+    ("e", pa.int64()), ("f", pa.int64()), ("_b", pa.int64())])
+_SUMMARY_BUCKET = pa.schema([
+    ("map_name", pa.string()), ("n", pa.int64()),
+    ("e", pa.int64()), ("f", pa.int64())])
+
+
 def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFrame:
     """A1 (src/main.py:52-76): per map, #entities with ≥1 result, #error
     results, #fixable error results.
 
-    Two-level reduction: per-batch vectorized partials (map, id → err/fix
-    sums, one row per entity per batch) stream back as narrow Arrow blocks
-    and are combined on the driver with one pandas groupby — the partial
-    set is #entities × 4 narrow columns, so a driver combine beats a
-    distributed sort shuffle by an order of magnitude at single-node scale
-    (swap for a tree-reduce over the same partials on a real cluster)."""
+    Fully distributed two-level reduction (nothing O(#entities) on the
+    driver): per-batch vectorized partials (map, id → err/fix sums, one
+    narrow Arrow row per entity per batch, plus an id hash bucket), then a
+    ``groupby(bucket)`` shuffle colocates each entity's partials and the
+    per-bucket pandas reduce emits ONE row per (map, bucket).  The driver
+    combines only #maps × #buckets tiny rows."""
     def partial(df: pd.DataFrame) -> pa.Table:
         err = (df["result"] == "CHECKED_ERROR")
         out = (pd.DataFrame({
@@ -412,15 +490,22 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
             "e": err.astype(np.int64),
             "f": (err & df["fixable"]).astype(np.int64)})
             .groupby(["map_name", "osm_id"], sort=False, as_index=False).sum())
-        return to_arrow(out)
+        out["_b"] = _bucket_of(out["osm_id"].to_numpy(), n_buckets)
+        return to_arrow(out, _SUMMARY_PARTIAL)
 
-    parts = flags.map_batches(partial, batch_format="pandas").to_pandas()
-    ent = parts.groupby(["map_name", "osm_id"], sort=False,
+    def bucket_reduce(g: pd.DataFrame) -> pa.Table:
+        ent = g.groupby(["map_name", "osm_id"], sort=False,
                         as_index=False)[["e", "f"]].sum()
-    df = ent.groupby("map_name", as_index=False).agg(
-        count_map_checks=("osm_id", "size"),
-        count_map_errors=("e", "sum"),
-        count_map_fixable_errors=("f", "sum"))
+        per_map = ent.groupby("map_name", as_index=False).agg(
+            n=("osm_id", "size"), e=("e", "sum"), f=("f", "sum"))
+        return to_arrow(per_map, _SUMMARY_BUCKET)
+
+    parts = flags.map_batches(partial, batch_format="pandas")
+    p = parts.groupby("_b").map_groups(
+        bucket_reduce, batch_format="pandas").to_pandas()
+    df = p.groupby("map_name", as_index=False)[["n", "e", "f"]].sum() \
+        .rename(columns={"n": "count_map_checks", "e": "count_map_errors",
+                         "f": "count_map_fixable_errors"})
     df = df.sort_values("map_name").reset_index(drop=True)
     for c in df.columns[1:]:
         df[c] = df[c].astype(np.int64)

@@ -241,3 +241,32 @@ def test_generic_sophox():
     assert m[1] == "Entity 1 bad"
     app, _ = run("checks.GenericSophoxCheck", [{"origin": "pbf"}])
     assert app.tolist() == [False]
+
+
+def test_generic_sophox_fix_mixed_actions_one_batch():
+    """Regression: emit() must subset array-valued `tag` like value/message.
+    A batch whose GenericSophox rows mix add/set/delete (action masks strict
+    subsets of the group) used to raise 'All arrays must be of the same
+    length' (ADVICE r1)."""
+    import pyarrow as pa
+    from osmlint import fixes
+    wiki_ref = pd.DataFrame({
+        "title": [], "exists": [], "has_box": [], "wiki_lat": [],
+        "wiki_lon": [], "qid": [], "in_serbian": []}).set_index("title")
+    wikidata_ref = pd.DataFrame({"qid": [], "label_sr": []}).set_index("qid")
+    df = _batch([
+        {"origin": "sophox", "name": "А", "tag_1": "name:sr", "val_1": "Ново",
+         "check_description": "d {0}"},                       # add
+        {"origin": "sophox", "name": "Б", "tag_1": "name:sr", "val_1": "Ново",
+         "name_sr": "Старо", "check_description": "d {0}"},   # set
+        {"origin": "sophox", "name": "В", "tag_1": "name:sr", "val_1": "false",
+         "name_sr": "Старо", "check_description": "d {0}"},   # delete
+    ])
+    df["map_slug"] = "serbia_pbf"
+    out = fixes.fix_plan_batch(pa.Table.from_pandas(df, preserve_index=False),
+                               wiki_ref_ref=wiki_ref,
+                               wikidata_ref_ref=wikidata_ref,
+                               wiki_links_ref=None).to_pandas()
+    gs = out[out["check_name"] == "checks.GenericSophoxCheck"]
+    assert sorted(gs["action"]) == ["add", "delete", "set"]
+    assert set(gs["tag"]) == {"name:sr"}
