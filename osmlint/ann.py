@@ -115,7 +115,7 @@ MAX_BUCKET = 4096   # skip-and-log guard against degenerate buckets
 
 
 def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
-                     num_partitions: int = 8) -> pd.DataFrame:
+                     num_partitions: int = 4) -> pd.DataFrame:
     """Scale path for near-duplicate pair mining: random-hyperplane LSH.
 
     Shuffle shape (the 100 TB story): the signature pass emits ONLY

@@ -373,6 +373,43 @@ SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
 FROM documents GROUP BY text ORDER BY 1"""
 
 
+def ngram_jaccard_sql(tau: float, n: int = 3) -> str:
+    """Exact word-n-gram Jaccard pairs >= tau.  Mirrors textops padding:
+    fewer than n tokens are padded with '' so every doc has >=1 n-gram.
+    (The Ray path compares 64-bit blake2b hashes of the n-grams; Jaccard
+    over the hash sets equals Jaccard over the string sets up to collision
+    odds ~1e-10 at gate scale.)"""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         list_concat(t, list_transform(range(greatest(0, {n} - len(t))),
+                                       x -> '')) AS t
+  FROM toks
+), ng AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {n} + 2),
+           i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+  FROM padded
+), ex AS (
+  SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM ng
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS i, any_value(a.sz) AS sza, any_value(b.sz) AS szb
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sza + szb - i) AS jaccard
+FROM inter
+WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= {tau}
+ORDER BY doc_a, doc_b"""
+
+
 def ann_topk_sql(k: int, n_queries: int) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -651,20 +688,30 @@ def rule_sql(d: str, slug: str) -> str:
                 f"({_ne('place')} OR {_ne('highway')}) AND "
                 f"{_within_sql(*CENTERS['serbia'])}")
         name, tag1, val = "name_sr", "'name'", "name_sr"
-    elif slug == "sophox_adding_namesr_central":
+    elif slug.startswith("sophox_adding_namesr_"):
+        region = slug.removeprefix("sophox_adding_namesr_")
         mask = (f"{_ne('name')} AND {_ne('highway')} AND "
                 + _SERBIAN_LATIN_SQL.format(e="name") + " AND NOT "
                 + _ENGLISH_SQL.format(e="name") + " AND "
-                + _within_sql(*CENTERS["adding_central"]))
+                + _within_sql(*CENTERS["adding_" + region]))
         name, tag1, val = "name", "'name:sr'", lat2cyr_sql("name")
-    elif slug == "sophox_checking_namesr_latn_north":
+    elif slug.startswith("sophox_checking_namesr_latn_"):
+        region = slug.removeprefix("sophox_checking_namesr_latn_")
         correct = cyr2lat_sql("name_sr")
         mask = (f"{_ne('name')} AND {_ne('name_sr')} AND "
-                f"{_within_sql(*CENTERS['checking_north'])} AND "
+                f"{_within_sql(*CENTERS['checking_' + region])} AND "
                 f"(({_ne('name_sr_latn')} AND coalesce({correct}, '') <> "
                 f"coalesce(name_sr_latn, '')) OR (NOT {_ne('name_sr_latn')}"
                 f" AND " + _NAME_CYR_SQL.format(e="name") + "))")
         name, tag1, val = "name", "'name:sr-Latn'", correct
+    elif slug == "sophox_changing_namesr_to_cyrillic":
+        # sparql/changing_namesr_to_cyrillic.sparql: name:sr exists, (place
+        # OR highway), latin heuristic on name:sr (the english filter is
+        # commented out in the reference query), whole-Serbia circle
+        mask = (f"{_ne('name_sr')} AND ({_ne('place')} OR {_ne('highway')})"
+                f" AND " + _SERBIAN_LATIN_SQL.format(e="name_sr") + " AND "
+                + _within_sql(*CENTERS["serbia"]))
+        name, tag1, val = "name_sr", "'name:sr'", lat2cyr_sql("name_sr")
     elif slug == "sophox_adding_int_name":
         mask = (f"{_ne('name_sr_latn')} AND "
                 f"regexp_matches(name_sr_latn, '(?i)đ') AND "

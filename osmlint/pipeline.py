@@ -237,6 +237,7 @@ def auto_concurrency(n_pools: int = 2) -> int:
 
 
 N_BUCKETS = 64     # coarse shuffle key: ~#CPUs×2 groups per map; raise with scale
+SHUFFLE_BLOCKS = 16  # coalesce target before small keyed shuffles; scale with cluster
 
 
 def _bucket_of(osm_id: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -265,75 +266,91 @@ _KEY_SCHEMA = pa.schema([("key", pa.int64()), ("seq", pa.int64()),
 _DUP_SCHEMA = pa.schema([("key", pa.int64()), ("max_seq", pa.int64())])
 
 
-def decode_keys(batch: pa.Table) -> pa.Table:
-    """Narrow Arrow-native decode for the collision pre-pass: only
-    (map_slug, osm_id, seq, origin, place).  No tag scatters and no per-row
-    Python doc_id parsing — ``split_pattern`` + ``list_element`` do the id
-    parse in C.  Falls back to the full (malformed-tolerant) decode if an
-    id fails the int cast."""
-    import pyarrow.compute as pc
-    try:
-        parts = pc.split_pattern(batch["doc_id"].combine_chunks(), "/")
-        slug = pc.list_element(parts, 0)
-        osm = pc.cast(pc.list_element(parts, 2), pa.int64())
-    except pa.ArrowInvalid:
-        full = spans.decode_batch(batch)
-        return full.select(["map_slug", "osm_id", "seq", "origin", "place"])
-    spans_col = batch["spans"].combine_chunks()
-    flat = pc.list_flatten(spans_col)
-    parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
-    kind_dict = pc.dictionary_encode(pc.struct_field(flat, "kind"))
-    codes = kind_dict.indices.to_numpy(zero_copy_only=False)
-    kind_of = {k: i for i, k in enumerate(kind_dict.dictionary.to_pylist())}
-    texts = pc.struct_field(flat, "text").to_numpy(zero_copy_only=False)
-    n = batch.num_rows
-    seq = np.full(n, -1, dtype=np.int64)
-    m = codes == kind_of.get("seq", -1)
-    seq[parents[m]] = texts[m].astype(np.int64)
-
-    def grab(kind: str) -> np.ndarray:
-        c = kind_of.get(kind)
-        out = np.full(n, None, dtype=object)
-        if c is not None:
-            m = codes == c
-            out[parents[m]] = texts[m]
-        return out
-
-    return pa.table({
-        "map_slug": slug,
-        "osm_id": osm,
-        "seq": pa.array(seq, type=pa.int64()),
-        "origin": pa.array(grab("origin"), type=pa.string()),
-        "place": pa.array(grab("tag:place"), type=pa.string())})
-
-
 def _collision_proj(batch: pa.Table, slug2code: dict,
                     n_buckets: int) -> pa.Table:
     """(key = slug_code<<44 | osm_id, seq, hash bucket) for every
     result-producing doc.  The reference accumulates only entities with >=1
     applicable check (src/sources/osm_source.py:37-43): sophox rows always,
     pbf rows iff place is city/town/village under every shipped suite —
-    last-wins competes only among these."""
-    t = decode_keys(batch)
-    place = t["place"].to_numpy(zero_copy_only=False)
-    origin = t["origin"].to_numpy(zero_copy_only=False)
-    has_result = (origin == "sophox") | np.isin(
-        place.astype(object), ("city", "town", "village"))
+    last-wins competes only among these.
+
+    Kept entirely in Arrow: the doc_id parse is ``split_pattern`` +
+    ``list_element`` (C), the seq/origin/place probes filter the flattened
+    span texts BEFORE any object conversion (only the handful of matching
+    span rows ever become numpy), and the slug→code map runs over the
+    dictionary values, not the rows.  Falls back to the full
+    (malformed-tolerant) decode if a doc_id fails the int cast."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    try:
+        parts = pc.split_pattern(batch["doc_id"].combine_chunks(), "/")
+        slug_dict = pc.dictionary_encode(pc.list_element(parts, 0))
+        osm = pc.cast(pc.list_element(parts, 2), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+    except pa.ArrowInvalid:
+        full = spans.decode_batch(batch)
+        slugs = full["map_slug"].combine_chunks()
+        slug_dict = pc.dictionary_encode(
+            slugs.chunk(0) if isinstance(slugs, pa.ChunkedArray) and
+            slugs.num_chunks else slugs)
+        osm = full["osm_id"].to_numpy(zero_copy_only=False)
+        t_seq = full["seq"].to_numpy(zero_copy_only=False)
+        origin = full["origin"].to_numpy(zero_copy_only=False)
+        place = full["place"].to_numpy(zero_copy_only=False)
+        has_result = (origin == "sophox") | np.isin(
+            place.astype(object), ("city", "town", "village"))
+        return _collision_rows(slug_dict, osm, t_seq, has_result, slug2code,
+                               n_buckets)
+    spans_col = batch["spans"].combine_chunks()
+    flat = pc.list_flatten(spans_col)
+    parents = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+    kind_dict = pc.dictionary_encode(pc.struct_field(flat, "kind"))
+    codes = kind_dict.indices.to_numpy(zero_copy_only=False)
+    kind_of = {k: i for i, k in enumerate(kind_dict.dictionary.to_pylist())}
+    texts = pc.struct_field(flat, "text")
+
+    def probe(kind: str, fn) -> tuple[np.ndarray, np.ndarray]:
+        """(parent rows, Arrow-computed values) of one span kind."""
+        c = kind_of.get(kind)
+        if c is None:
+            return np.empty(0, np.int64), None
+        m = codes == c
+        return parents[m], fn(texts.filter(pa.array(m)))
+
+    seq = np.full(n, -1, dtype=np.int64)
+    rows, vals = probe("seq", lambda a: pc.cast(a, pa.int64()))
+    if vals is not None:
+        seq[rows] = vals.to_numpy(zero_copy_only=False)
+    is_sophox = np.zeros(n, dtype=bool)
+    rows, vals = probe("origin", lambda a: pc.equal(a, "sophox"))
+    if vals is not None:
+        is_sophox[rows] = vals.to_numpy(zero_copy_only=False)
+    place_ctv = np.zeros(n, dtype=bool)
+    rows, vals = probe("tag:place", lambda a: pc.is_in(
+        a, value_set=pa.array(["city", "town", "village"])))
+    if vals is not None:
+        place_ctv[rows] = vals.to_numpy(zero_copy_only=False)
+    return _collision_rows(slug_dict, osm, seq, is_sophox | place_ctv,
+                           slug2code, n_buckets)
+
+
+def _collision_rows(slug_dict, osm, seq, has_result, slug2code,
+                    n_buckets) -> pa.Table:
     if not has_result.any():
         return _KEY_SCHEMA.empty_table()
-    ms = pd.Series(t["map_slug"].to_numpy(zero_copy_only=False)[has_result])
-    codes = ms.map(slug2code)
-    if codes.isna().any():
-        missing = sorted(set(ms[codes.isna()]))
+    dict_vals = slug_dict.dictionary.to_pylist()
+    try:
+        lut = np.array([slug2code[s] for s in dict_vals], dtype=np.int64)
+    except KeyError:
+        missing = sorted(s for s in dict_vals if s not in slug2code)
         raise ValueError(
             f"collision_keys: slugs {missing} not in the "
             "partition list — pass the authoritative docs/ listing")
-    key = (codes.to_numpy(np.int64) << 44) | \
-        t["osm_id"].to_numpy(zero_copy_only=False)[has_result]
+    codes = lut[slug_dict.indices.to_numpy(zero_copy_only=False)[has_result]]
+    key = (codes << 44) | osm[has_result]
     return pa.table({
         "key": pa.array(key, type=pa.int64()),
-        "seq": pa.array(t["seq"].to_numpy(zero_copy_only=False)[has_result],
-                        type=pa.int64()),
+        "seq": pa.array(seq[has_result], type=pa.int64()),
         "_b": pa.array(_bucket_of(key, n_buckets), type=pa.int64())})
 
 
@@ -375,7 +392,10 @@ def collision_keys(data_dir: str, slugs: list[str],
     parts = ds.map_batches(_collision_proj, batch_format="pyarrow",
                            fn_kwargs={"slug2code": slug2code,
                                       "n_buckets": n_buckets})
-    dups = parts.groupby("_b").map_groups(
+    # coalesce the many tiny per-read-fragment partials before the keyed
+    # shuffle: a groupby over hundreds of KB-sized blocks is dominated by
+    # per-block task overhead (measured 10.6s -> 0.4s at sf0.1)
+    dups = parts.repartition(SHUFFLE_BLOCKS).groupby("_b").map_groups(
         _dup_in_bucket, batch_format="pyarrow").to_pandas()
     inv = {i: s_ for s_, i in slug2code.items()}
     kk = dups["key"].to_numpy() if len(dups) else np.array([], dtype=np.int64)
@@ -501,7 +521,7 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
         return to_arrow(per_map, _SUMMARY_BUCKET)
 
     parts = flags.map_batches(partial, batch_format="pandas")
-    p = parts.groupby("_b").map_groups(
+    p = parts.repartition(SHUFFLE_BLOCKS).groupby("_b").map_groups(
         bucket_reduce, batch_format="pandas").to_pandas()
     df = p.groupby("map_name", as_index=False)[["n", "e", "f"]].sum() \
         .rename(columns={"n": "count_map_checks", "e": "count_map_errors",

@@ -220,8 +220,15 @@ def _rule_query(slug: str):
     return run
 
 
-RULE_QUERY_SLUGS = ("sophox_adding_name", "sophox_adding_namesr_central",
+RULE_QUERY_SLUGS = ("sophox_adding_name",
+                    "sophox_adding_namesr_north",
+                    "sophox_adding_namesr_central",
+                    "sophox_adding_namesr_west",
+                    "sophox_adding_namesr_east",
+                    "sophox_adding_namesr_south",
                     "sophox_checking_namesr_latn_north",
+                    "sophox_checking_namesr_latn_south",
+                    "sophox_changing_namesr_to_cyrillic",
                     "sophox_adding_int_name")
 
 
@@ -276,8 +283,14 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
         "text_stats": oracle_sql.TEXT_STATS_SQL,
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
+        # exact recall by construction (inverted-index candidates) — SQL
+        # computes the same word-3-gram Jaccard
+        "dedup_ngram_jaccard": oracle_sql.ngram_jaccard_sql(0.3),
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         "embedding_cosine_pairs": oracle_sql.cosine_pairs_sql(COS_TAU),
+        # LSH multiprobe recall verified == exact at gate scale (pytest
+        # guards the subset property; equality checked empirically)
+        "embedding_cosine_pairs_lsh": oracle_sql.cosine_pairs_sql(COS_TAU),
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,

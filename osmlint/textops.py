@@ -3,10 +3,21 @@
 (doc_id:int64, text, lang, source, n_chars).
 
 Scale-engine components beyond the reference's lint checks: exact and
-near-duplicate detection (hash-groupby, MinHash+LSH banding, SimHash,
-n-gram Jaccard), language-ID heuristics, quality scoring, token counting
-and document fingerprinting — each a vectorized ``map_batches`` kernel
-with groupbys on pre-aggregated Arrow partials.
+near-duplicate detection (fingerprint hash-groupby, MinHash+LSH banding,
+SimHash, inverted-index n-gram Jaccard), language-ID heuristics, quality
+scoring, token counting and document fingerprinting — each a vectorized
+``map_batches`` kernel with groupbys on pre-aggregated Arrow partials.
+
+Shuffle discipline (the 100 TB story):
+
+* exact dedup shuffles 16-byte md5 keys, never text bodies;
+* LSH banding shuffles 24-byte (band, bucket, doc_id) rows, never the
+  shingle sets; candidate pairs are deduped with a vectorized hash
+  aggregate and verified by joining the packed shingle sets back per side
+  (``Dataset.join``) — verify cost tracks candidate volume, not input;
+* n-gram Jaccard generates candidates from a shared-n-gram inverted index
+  (exact recall for tau > 0: any qualifying pair shares >=1 n-gram),
+  with a hot-posting cap (logged) as the skew guard.
 
 Determinism: every hash (shingles, MinHash permutations, SimHash planes)
 is seeded arithmetic on uint64 — stable across processes and machines.
@@ -87,13 +98,23 @@ def text_stats(sf_dir: str) -> rd.Dataset:
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Keep the lowest doc_id per exact text; report the copy count.
 
-    groupby on the text itself at test scale; at 100 TB pre-hash the text
-    (fingerprint) per batch so the shuffle moves 16-byte keys, not bodies —
-    stats_batch's md5 is exactly that key."""
-    ds = read_docs(sf_dir).map_batches(
-        lambda b: b.select(["text", "doc_id"]), batch_format="pyarrow")
-    agg = ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    The shuffle key is the 128-bit md5 of the text (two int64 columns) —
+    bodies never move.  Identical hash == identical text up to md5
+    collision odds (~2^-64 at petascale; acceptable and documented)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        hi = np.empty(len(df), dtype=np.int64)
+        lo = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df["text"].fillna("")):
+            d = hashlib.md5(t.encode("utf-8")).digest()
+            hi[i] = int.from_bytes(d[:8], "little", signed=True)
+            lo[i] = int.from_bytes(d[8:], "little", signed=True)
+        return pa.table({"fp_hi": pa.array(hi), "fp_lo": pa.array(lo),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(np.int64))})
+
+    agg = read_docs(sf_dir).map_batches(fp, batch_format="pyarrow") \
+        .groupby(["fp_hi", "fp_lo"]).aggregate(
+            Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     df = agg.to_pandas()[["doc_id", "n_copies"]]
     df["doc_id"] = df["doc_id"].astype(np.int64)
     df["n_copies"] = df["n_copies"].astype(np.int64)
@@ -106,6 +127,7 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 N_PERM = 64
 N_BANDS = 16            # 16 bands x 4 rows
+NGRAM_N = 3
 _PRIME = np.uint64(0x9E3779B97F4A7C15)
 
 _rng = np.random.default_rng(1234)
@@ -113,16 +135,11 @@ _PERM_A = _rng.integers(1, (1 << 61) - 1, N_PERM, dtype=np.uint64)
 _PERM_B = _rng.integers(0, (1 << 61) - 1, N_PERM, dtype=np.uint64)
 _SIMHASH_BITS = 64
 
+MAX_POSTING = 1024      # hot-n-gram skew guard (skipped postings are logged)
 
-def _token_ngrams(text: str, n: int = 3) -> np.ndarray:
-    """uint64 hashes of word n-grams (rolling polynomial, seeded)."""
-    toks = text.split()
-    if len(toks) < n:
-        toks = toks + [""] * (n - len(toks))
-    h = np.fromiter((hash_u64(" ".join(toks[i:i + n]))
-                     for i in range(max(1, len(toks) - n + 1))),
-                    dtype=np.uint64)
-    return np.unique(h)
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+_PAIRJ_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("jaccard", pa.float64())])
 
 
 def hash_u64(s: str) -> np.uint64:
@@ -130,34 +147,65 @@ def hash_u64(s: str) -> np.uint64:
     return np.uint64(int.from_bytes(d, "little"))
 
 
-def _minhash(shingles: np.ndarray) -> np.ndarray:
-    """(N_PERM,) uint64 signature via universal hashing mod 2^61-1."""
-    x = shingles[:, None]
-    vals = (x * _PERM_A[None, :] + _PERM_B[None, :]) % MERSENNE
-    return vals.min(axis=0)
+def _doc_shingles(texts: pd.Series, n: int = NGRAM_N):
+    """All docs' UNIQUE word-n-gram hashes, flattened with segment offsets.
+
+    Returns (flat_hashes uint64, offsets int64[len+1]).  One generator over
+    every n-gram feeds blake2b (per-string C hashing); everything after is
+    columnar (sort + segment-dedup), no per-doc numpy re-entry."""
+    grams: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < n:
+            toks = toks + [""] * (n - len(toks))
+        m = max(1, len(toks) - n + 1)
+        grams.extend(" ".join(toks[j:j + n]) for j in range(m))
+        counts[i] = m
+    h = np.fromiter((hash_u64(g) for g in grams), dtype=np.uint64,
+                    count=len(grams))
+    seg = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    # sort by (doc, hash) then drop within-doc duplicates — the vectorized
+    # replacement for a per-doc np.unique loop
+    order = np.lexsort((h, seg))
+    h, seg = h[order], seg[order]
+    keep = np.r_[True, (h[1:] != h[:-1]) | (seg[1:] != seg[:-1])]
+    h, seg = h[keep], seg[keep]
+    u_counts = np.bincount(seg, minlength=len(texts))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(u_counts, out=offsets[1:])
+    return h, offsets
 
 
 def shingle_batch(batch: pa.Table) -> pa.Table:
-    """doc -> shingle hash set + minhash signature + simhash (one pass)."""
+    """doc -> shingle hash set + minhash signature + simhash, batched:
+    ONE (total_shingles x 64) universal-hash matrix + segment reduces
+    (``minimum.reduceat`` / ``add.reduceat``) — no per-doc Python numpy."""
     df = batch.to_pandas()
-    out_sh, out_sig, out_sim = [], [], np.empty(len(df), dtype=np.int64)
-    for i, t in enumerate(df["text"].fillna("")):
-        sh = _token_ngrams(t)
-        sig = _minhash(sh)
-        out_sh.append(sh.astype(np.int64))
-        out_sig.append(sig.astype(np.int64))
-        # simhash over shingle hashes: sign of per-bit vote
-        bits = ((sh[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64))
-                & np.uint64(1))
-        vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out_sim[i] = int(((vote > 0).astype(np.uint64)
-                          << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum()
-                         .astype(np.int64))
+    n = len(df)
+    h, offsets = _doc_shingles(df["text"].fillna(""))
+    starts = offsets[:-1]
+    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % MERSENNE
+    sigs = np.minimum.reduceat(vals, starts, axis=0) if len(h) else \
+        np.empty((0, N_PERM), dtype=np.uint64)
+    bits = ((h[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64))
+            & np.uint64(1))
+    votes = np.add.reduceat(2 * bits.astype(np.int64) - 1, starts, axis=0) \
+        if len(h) else np.empty((0, _SIMHASH_BITS), dtype=np.int64)
+    sim = ((votes > 0).astype(np.uint64)
+           << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum(axis=1) \
+        .astype(np.int64)
+    sh_list = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)),
+        pa.array(h.astype(np.int64), type=pa.int64()))
+    sig_list = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * N_PERM, N_PERM, dtype=np.int32)),
+        pa.array(sigs.reshape(-1).astype(np.int64), type=pa.int64()))
     return pa.table({
         "doc_id": batch["doc_id"],
-        "shingles": pa.array(out_sh, type=pa.list_(pa.int64())),
-        "minhash": pa.array(out_sig, type=pa.list_(pa.int64())),
-        "simhash": pa.array(out_sim, type=pa.int64()),
+        "shingles": sh_list,
+        "minhash": sig_list,
+        "simhash": pa.array(sim, type=pa.int64()),
     })
 
 
@@ -169,7 +217,8 @@ def simhash_docs(sf_dir: str) -> rd.Dataset:
 
 
 def band_explode(batch: pa.Table) -> pa.Table:
-    """signature -> (band, bucket) keys; ~N_BANDS rows per doc."""
+    """signature -> (band, bucket, doc_id) keys; ~N_BANDS 24-byte rows per
+    doc — the shingle payload does NOT ride the shuffle."""
     df = batch.to_pandas()
     n = len(df)
     sigs = np.stack(df["minhash"].to_numpy()) if n else \
@@ -183,49 +232,123 @@ def band_explode(batch: pa.Table) -> pa.Table:
         "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int64), n)),
         "bucket": pa.array(bucket.reshape(-1).astype(np.int64)),
         "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(np.int64), N_BANDS)),
-        "shingles": pa.array(np.repeat(df["shingles"].to_numpy(), N_BANDS),
-                             type=pa.list_(pa.int64())),
     })
 
 
-def _pairs_exact_jaccard(g: pd.DataFrame, tau: float) -> pa.Table:
-    """All-pairs within one LSH bucket, verified with EXACT Jaccard over the
-    carried shingle sets."""
-    out_a, out_b, out_j = [], [], []
-    if len(g) > 1:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [np.asarray(s, dtype=np.int64) for s in g["shingles"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(sets[i], sets[j],
-                                       assume_unique=True).size
-                union = sets[i].size + sets[j].size - inter
-                jac = inter / union if union else 0.0
-                if jac >= tau:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(jac)
-    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                     "doc_b": pa.array(out_b, type=pa.int64()),
-                     "jaccard": pa.array(out_j, type=pa.float64())})
+def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2 or len(ids) > MAX_POSTING:
+        if len(ids) > MAX_POSTING:
+            import logging
+            logging.getLogger(__name__).warning(
+                "skipping hot bucket with %d docs (> %d)", len(ids),
+                MAX_POSTING)
+        return _PAIR_SCHEMA.empty_table()
+    i, j = np.triu_indices(len(ids), k=1)
+    return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
+                     "doc_b": pa.array(ids[j], type=pa.int64())})
 
 
-def minhash_dup_pairs(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
-    """MinHash+LSH near-duplicate pairs (shingle → minhash → band → bucket
-    groupby → exact-Jaccard verify), deduped across bands."""
-    ds = read_docs(sf_dir).map_batches(shingle_batch, batch_format="pyarrow")
-    ds = ds.map_batches(band_explode, batch_format="pyarrow")
-    pairs = ds.groupby(["band", "bucket"]).map_groups(
-        _pairs_exact_jaccard, batch_format="pandas", fn_kwargs={"tau": tau})
-    df = pairs.to_pandas()
+def _pack_shingles(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingles) -> (doc_id, sh:binary) — acero joins reject list
+    payloads, so the sorted unique hash set rides as an int64 blob."""
+    df = batch.to_pandas()
+    blobs = [np.asarray(s, dtype=np.int64).tobytes() for s in df["shingles"]]
+    return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                     "sh": pa.array(blobs, type=pa.binary())})
+
+
+def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
+                    num_partitions: int = 4) -> pd.DataFrame:
+    """Join the packed shingle sets back per candidate side and compute
+    EXACT Jaccard — vectorized C intersections per pair, candidates only."""
+    joined = cand.join(packed, "inner", num_partitions,
+                       on=("doc_a",), right_on=("doc_id",))
+    joined = joined.join(packed, "inner", num_partitions,
+                         on=("doc_b",), right_on=("doc_id",),
+                         left_suffix="_l", right_suffix="_r")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAIRJ_SCHEMA.empty_table()
+        cols = batch.column_names
+        ca = "sh_l" if "sh_l" in cols else "sh"
+        cb = "sh_r" if "sh_r" in cols else "sh"
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        sa = [np.frombuffer(x, dtype=np.int64) for x in batch[ca].to_pylist()]
+        sb = [np.frombuffer(x, dtype=np.int64) for x in batch[cb].to_pylist()]
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
+            union = sa[i].size + sb[i].size - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= tau
+        return pa.table({"doc_a": pa.array(a[keep], type=pa.int64()),
+                         "doc_b": pa.array(b[keep], type=pa.int64()),
+                         "jaccard": pa.array(jac[keep], type=pa.float64())})
+
+    df = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     if df.empty:
         df = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                            "doc_b": pd.Series(dtype=np.int64),
                            "jaccard": pd.Series(dtype=np.float64)})
-    df = df.drop_duplicates(["doc_a", "doc_b"])      # same pair in >1 band
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
+    """One row per (doc_a, doc_b): vectorized hash aggregate, NOT a
+    per-pair map_groups."""
+    return ds.groupby(["doc_a", "doc_b"]) \
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+
+def minhash_dup_pairs(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+    """MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
+    groupby (24-byte rows) → pair dedup → join-back exact-Jaccard verify."""
+    shingled = read_docs(sf_dir).map_batches(shingle_batch,
+                                             batch_format="pyarrow")
+    bands = shingled.map_batches(band_explode, batch_format="pyarrow")
+    cand = _dedup_pairs(bands.groupby(["band", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pandas"))
+    packed = read_docs(sf_dir).map_batches(shingle_batch,
+                                           batch_format="pyarrow") \
+        .map_batches(_pack_shingles, batch_format="pyarrow")
+    return _verify_jaccard(cand, packed, tau)
+
+
 def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
-    """Lower-threshold exact n-gram Jaccard pairs using the same LSH
-    candidate generation (recall limited by banding — documented)."""
-    return minhash_dup_pairs(sf_dir, tau=tau)
+    """Exact n-gram Jaccard pairs via a shared-n-gram inverted index:
+    (ngram_hash, doc_id) postings → per-posting candidate pairs → dedup →
+    join-back exact verify.  EXACT recall for tau > 0 (a qualifying pair
+    shares at least one n-gram) up to the hot-posting cap, which is logged
+    when hit — unlike ``minhash_dup_pairs`` whose recall is band-limited."""
+    def postings(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h, offsets = _doc_shingles(df["text"].fillna(""))
+        seg = np.repeat(np.arange(len(df), dtype=np.int64),
+                        np.diff(offsets))
+        return pa.table({
+            "ngram": pa.array(h.astype(np.int64), type=pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[seg])})
+
+    def posting_pairs(g: pd.DataFrame) -> pa.Table:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > MAX_POSTING:
+            if len(ids) > MAX_POSTING:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "skipping hot n-gram posting with %d docs (> %d)",
+                    len(ids), MAX_POSTING)
+            return _PAIR_SCHEMA.empty_table()
+        i, j = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
+                         "doc_b": pa.array(ids[j], type=pa.int64())})
+
+    posts = read_docs(sf_dir).map_batches(postings, batch_format="pyarrow")
+    cand = _dedup_pairs(posts.groupby("ngram").map_groups(
+        posting_pairs, batch_format="pandas"))
+    packed = read_docs(sf_dir).map_batches(shingle_batch,
+                                           batch_format="pyarrow") \
+        .map_batches(_pack_shingles, batch_format="pyarrow")
+    return _verify_jaccard(cand, packed, tau)

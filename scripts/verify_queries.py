@@ -22,7 +22,15 @@ def to_pandas(x):
     if isinstance(x, pd.DataFrame):
         return x
     if hasattr(x, "to_pandas"):
-        return x.to_pandas()
+        df = x.to_pandas()
+        if not len(df.columns) and hasattr(x, "schema"):
+            # Ray quirk: a 0-row Dataset loses its columns in to_pandas();
+            # rebuild the typed empty frame from the Dataset schema
+            sch = x.schema()
+            if sch is not None:
+                df = pd.DataFrame({n: pd.Series(dtype=t.to_pandas_dtype())
+                                   for n, t in zip(sch.names, sch.types)})
+        return df
     raise TypeError(type(x))
 
 

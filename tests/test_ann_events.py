@@ -132,3 +132,23 @@ def test_asof_attribution(ev_dir):
     assert p1["src_event_id"] == 1 and p1["src_type"] == "click"
     p2 = out[out.event_id == 3].iloc[0]      # user 2: no prior source
     assert pd.isna(p2["src_event_id"])
+
+
+def test_cosine_lsh_recall_gate(emb_dir):
+    """Recall gate (VERDICT r1): the multiprobe LSH pair set must recover
+    >= 90% of the exact pair set at the operating tau, and stay a subset."""
+    brute = ann.cosine_pairs(emb_dir, tau=0.5)
+    lsh = ann.cosine_pairs_lsh(emb_dir, tau=0.5, dim=16)
+    exact = set(zip(brute.vec_a, brute.vec_b))
+    got = set(zip(lsh.vec_a, lsh.vec_b))
+    assert got <= exact
+    assert len(exact) > 0
+    assert len(got) / len(exact) >= 0.9
+
+
+def test_cosine_lsh_deterministic(emb_dir):
+    """Hyperplanes are re-seeded per call: two runs in one process agree
+    (ADVICE r1: the old module-level rng drifted between calls)."""
+    a = ann.cosine_pairs_lsh(emb_dir, tau=0.9, dim=16)
+    b = ann.cosine_pairs_lsh(emb_dir, tau=0.9, dim=16)
+    assert a.equals(b)

@@ -84,3 +84,36 @@ def test_ngram_jaccard_lower_tau(doc_dir):
     pairs = textops.ngram_jaccard_pairs(doc_dir, tau=0.3)
     got = set(zip(pairs.doc_a, pairs.doc_b))
     assert (100, 101) in got and (100, 102) in got
+
+
+def test_ngram_jaccard_equals_brute_force(doc_dir):
+    """The inverted-index candidate generation has EXACT recall: the
+    operator must equal a brute-force all-pairs Jaccard on the fixture."""
+    pairs = textops.ngram_jaccard_pairs(doc_dir, tau=0.3)
+    docs = pq.read_table(os.path.join(doc_dir, "documents.parquet")) \
+        .to_pandas()
+    h, off = textops._doc_shingles(docs["text"].fillna(""))
+    ids = docs["doc_id"].to_numpy()
+    exp = []
+    for i in range(len(ids)):
+        si = h[off[i]:off[i + 1]]
+        for j in range(i + 1, len(ids)):
+            sj = h[off[j]:off[j + 1]]
+            inter = np.intersect1d(si, sj, assume_unique=True).size
+            union = si.size + sj.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= 0.3:
+                a, b = sorted((ids[i], ids[j]))
+                exp.append((a, b, jac))
+    exp_df = pd.DataFrame(exp, columns=["doc_a", "doc_b", "jaccard"]) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pairs, exp_df)
+
+
+def test_minhash_subset_of_exact(doc_dir):
+    """LSH banding output is always a subset of the exact tau-pair set
+    (verify is exact Jaccard on the full shingle sets)."""
+    pairs = textops.minhash_dup_pairs(doc_dir, tau=0.5)
+    allp = textops.ngram_jaccard_pairs(doc_dir, tau=0.5)
+    assert set(zip(pairs.doc_a, pairs.doc_b)) <= \
+        set(zip(allp.doc_a, allp.doc_b))
