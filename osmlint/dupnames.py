@@ -52,7 +52,7 @@ def _stable_bucket(names: pd.Series, n_buckets: int) -> np.ndarray:
 
 
 def replicate_to_cells(batch: pa.Table, *, res: int, group_res: int,
-                       n_buckets: int) -> pd.DataFrame:
+                       n_buckets: int) -> pa.Table:
     """Emit each doc into its home cell + ring-1 neighbors (anchor flag on
     the home copy).  ``gcell`` is the coarse ancestor cell at ``group_res``
     — the actual shuffle key, so groups stay few and fat (the per-group
@@ -143,37 +143,56 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
 
     ds = ds.map_batches(named_ctv, batch_format="pyarrow")
 
-    # ONE small-side pass over the named-CTV subset (materialized so the
-    # pair pass reuses it): per-batch partials of (doc_id, n, max_seq) and
-    # (name, count) combined on the DRIVER — dup doc_ids and hot names are
-    # both tiny broadcast sets, so the stream itself never shuffles for
-    # dedup or the stop-name cap.
-    ds = ds.materialize()
+    # per-doc last-wins dedup as a distributed keyed shuffle over the small
+    # named-CTV projection (6 narrow columns): a doc_id hash-bucket groupby
+    # colocates every row of a doc, the per-group kernel keeps EXACTLY one
+    # row — the max-seq row, seq ties broken deterministically by
+    # (name, lat, lon) (the oracle's row_number keeps one arbitrary tied
+    # row; ties cannot occur in well-formed input where seq is the source
+    # position).  Dedup runs BEFORE the stop-name frequency count, matching
+    # the oracle's deduped `named` CTE (ADVICE r1).  Nothing lands on the
+    # driver except the hot-name set.
+    def dedup_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "seq", "name", "lat", "lon"],
+                          kind="stable")
+        g = g.drop_duplicates("doc_id", keep="last")
+        return pa.Table.from_pandas(g, schema=NAMED_SCHEMA,
+                                    preserve_index=False)
 
-    def dedup_partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("doc_id", sort=False, as_index=False).agg(
-            n=("seq", "size"), mx=("seq", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-    dp = ds.map_batches(dedup_partial, batch_format="pandas").to_pandas()
-    dd = dp.groupby("doc_id", sort=False, as_index=False).agg(
-        n=("n", "sum"), mx=("mx", "max"))
-    dup_max = dd[dd["n"] > 1].set_index("doc_id")["mx"]
+    deduped = ds.repartition(16).groupby("_b").map_groups(
+        dedup_group, batch_format="pandas").materialize()
+
+    # hot ("stop") names over the DEDUPED stream: per-batch count partials,
+    # name-hash-bucket groupby, per-group emit only names above the cap —
+    # the driver sees O(#hot names)
+    freq_schema = pa.schema([("name", pa.string()), ("c", pa.int64()),
+                             ("_nb", pa.int64())])
+    hot_schema = pa.schema([("name", pa.string())])
 
     def name_partial(df: pd.DataFrame) -> pa.Table:
-        c = df.groupby("name", sort=False).size()
-        return pa.Table.from_pandas(c.reset_index(name="c"),
+        c = df.groupby("name", sort=False).size().reset_index(name="c")
+        c["_nb"] = _stable_bucket(c["name"], 64)
+        return pa.Table.from_pandas(c, schema=freq_schema,
                                     preserve_index=False)
-    np_ = ds.map_batches(name_partial, batch_format="pandas").to_pandas()
-    freq = np_.groupby("name", sort=False)["c"].sum()
-    hot = set(freq[freq > max_name_freq].index)
 
-    def drop_dups_and_hot(df: pd.DataFrame) -> pd.DataFrame:
-        keep = ~df["name"].isin(hot)
-        if len(dup_max):
-            mx = df["doc_id"].map(dup_max)
-            keep &= mx.isna() | (df["seq"] == mx)
-        return df[keep].drop(columns="_b")
-    ds = ds.map_batches(drop_dups_and_hot, batch_format="pandas")
+    def hot_in_bucket(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("name", sort=False)["c"].sum()
+        return pa.Table.from_pandas(
+            tot[tot > max_name_freq].reset_index()[["name"]],
+            schema=hot_schema, preserve_index=False)
+
+    hot = set(deduped.map_batches(name_partial, batch_format="pandas")
+              .repartition(8).groupby("_nb")
+              .map_groups(hot_in_bucket, batch_format="pandas")
+              .to_pandas()["name"])
+
+    dedup_schema = pa.schema([f for f in NAMED_SCHEMA if f.name != "_b"])
+
+    def drop_hot(df: pd.DataFrame) -> pa.Table:
+        out = df[~df["name"].isin(hot)].drop(columns="_b")
+        return pa.Table.from_pandas(out, schema=dedup_schema,
+                                    preserve_index=False)
+    ds = deduped.map_batches(drop_hot, batch_format="pandas")
 
     ds = ds.map_batches(replicate_to_cells, batch_format="pyarrow",
                         fn_kwargs={"res": res, "group_res": group_res,

@@ -10,9 +10,11 @@ the decoded document IS the current state.  Confirmation prompts and the
 actual write belong to the (out-of-scope-for-parity) interactive applier.
 
 The Wikipedia guess walk (_guess_from_wikipedia, src/checks.py:46-134) is
-re-expressed over the broadcast wiki reference tables as ≤2 bounded join
-rounds: direct title hit with box+20km gate, else the disambiguation page's
-links in order — no recursion, no per-row Python.
+re-expressed over the broadcast wiki reference tables as bounded join
+rounds to DEPTH 3: direct title hit with box+20km gate, else the link
+hub's ordered targets (ambiguous-page recursion + "друго значење"
+other-meaning branch), else the targets' own hubs — first DFS-order
+accept wins; no per-row Python, no unbounded recursion.
 
 Engine divergence (north-star requirement): IsInCountryCheck's fix value is
 the PIP-derived country (reference hard-codes 'Serbia', src/checks.py:687)
@@ -51,9 +53,29 @@ def _wn(etype: pd.Series) -> np.ndarray:
 
 def guess_from_wiki(names: pd.Series, lat: np.ndarray, lon: np.ndarray,
                     wiki_ref: pd.DataFrame, wiki_links: pd.DataFrame):
-    """Vectorized _guess_from_wikipedia (src/checks.py:46-134): accept the
-    direct article iff it exists, carries a valid box and is within 20 km;
-    otherwise follow the disambiguation page's links in order."""
+    """Vectorized _guess_from_wikipedia (src/checks.py:46-134), depth <= 3.
+
+    Walk semantics (mirroring the reference's bounded DFS):
+
+    * depth 1 — the direct article: accept iff it exists, carries a valid
+      box and is within 20 km.  A boxed page failing the distance gate
+      returns None WITHOUT walking (src/checks.py:124-134); an existing
+      boxless page walks.
+    * depth 2 — the ordered targets of the page's link hub (the sibling
+      disambiguation page ``<name> (вишезначна одредница)``, covering both
+      the ambiguous-page recursion src/checks.py:114-120 and the
+      "друго значење" other-meaning else-branch src/checks.py:88-112 that
+      probes ``'{0} (вишезначна_одредница)'``): each target is probed with
+      the same accept rule.
+    * depth 3 — a depth-2 target that exists WITHOUT a box may itself be a
+      hub: its own ordered link targets are probed (the reference's
+      recursion, ``depth > 3`` bails src/checks.py:68-70).
+
+    The winner is the FIRST accepted candidate in DFS order — lexicographic
+    (ord1, ord2) with the depth-2 node before its children.  The
+    reference's ``visited_pages`` pruning is outcome-equivalent here:
+    acceptance is a pure function of the title, so a re-encountered page
+    can never become a first accept."""
     names_arr = names.to_numpy(dtype=object)
     n = len(names_arr)
 
@@ -74,26 +96,39 @@ def guess_from_wiki(names: pd.Series, lat: np.ndarray, lon: np.ndarray,
     out = np.full(n, None, dtype=object)
     d_exists, d_box, d_acc = _probe(names_arr, lat, lon)
     out[d_acc] = names_arr[d_acc]
-    # disambiguation walk ONLY for rows whose direct page exists WITHOUT a
-    # valid box (src/checks.py:78-120: a boxed page that fails the distance
-    # gate returns None, no walk)
     need = np.nonzero(d_exists & ~d_box)[0]
-    if len(need) and len(wiki_links):
-        dtitles = np.array([s + " (вишезначна одредница)"
-                            for s in names_arr[need]], dtype=object)
-        for k in sorted(wiki_links["ord"].unique()):
-            unresolved = np.array([out[i] is None for i in need])
-            if not unresolved.any():
-                break
-            kth = wiki_links[wiki_links["ord"] == k] \
-                .drop_duplicates("title").set_index("title")["target"]
-            targets = pd.Series(dtitles).map(kth).to_numpy(dtype=object)
-            sel = unresolved & pd.notna(targets)
-            if not sel.any():
-                continue
-            rows = need[sel]
-            _, _, acc = _probe(targets[sel], lat[rows], lon[rows])
-            out[rows[acc]] = targets[sel][acc]
+    if len(need) == 0 or not len(wiki_links):
+        return pd.Series(out, index=names.index, dtype=object)
+
+    links = wiki_links[["title", "ord", "target"]]
+    sub = pd.DataFrame({
+        "row": need,
+        "hub": [names_arr[i] + " (вишезначна одредница)" for i in need]})
+    l1 = sub.merge(links, left_on="hub", right_on="title")
+    if not len(l1):
+        return pd.Series(out, index=names.index, dtype=object)
+    rows1 = l1["row"].to_numpy()
+    t1 = l1["target"].to_numpy(dtype=object)
+    e1, b1, acc1 = _probe(t1, lat[rows1], lon[rows1])
+    cands = [pd.DataFrame({"row": rows1[acc1], "ord1": l1["ord"].to_numpy()[acc1],
+                           "ord2": -1, "cand": t1[acc1]})]
+    rec = e1 & ~b1                      # boxless existing target: recurse
+    if rec.any():
+        l2 = pd.DataFrame({"row": rows1[rec], "ord1": l1["ord"].to_numpy()[rec],
+                           "hub2": t1[rec]}) \
+            .merge(links, left_on="hub2", right_on="title")
+        if len(l2):
+            rows2 = l2["row"].to_numpy()
+            t2 = l2["target"].to_numpy(dtype=object)
+            _, _, acc2 = _probe(t2, lat[rows2], lon[rows2])
+            cands.append(pd.DataFrame({
+                "row": rows2[acc2], "ord1": l2["ord1"].to_numpy()[acc2],
+                "ord2": l2["ord"].to_numpy()[acc2], "cand": t2[acc2]}))
+    allc = pd.concat(cands, ignore_index=True)
+    if len(allc):
+        win = allc.sort_values(["row", "ord1", "ord2"], kind="stable") \
+            .drop_duplicates("row", keep="first")
+        out[win["row"].to_numpy()] = win["cand"].to_numpy(dtype=object)
     return pd.Series(out, index=names.index, dtype=object)
 
 

@@ -507,6 +507,7 @@ def fix_plan_sql(d: str) -> str:
     hav_w = haversine_sql("wiki_lat", "wiki_lon", "lat", "lon")
     hav_g = haversine_sql("w.wiki_lat", "w.wiki_lon", "f.lat", "f.lon")
     hav_t = haversine_sql("t.wiki_lat", "t.wiki_lon", "f.lat", "f.lon")
+    hav_t3 = haversine_sql("t.wiki_lat", "t.wiki_lon", "c.lat", "c.lon")
     ctes = f"""{base_ctes(d)},
 links AS (SELECT * FROM read_parquet({q(d + '/wiki_links.parquet')})),
 resdocs AS (
@@ -533,16 +534,36 @@ gdir AS (
           AND w.wiki_lat IS NOT NULL AND {hav_g} <= 20.0) AS d_ok
   FROM base2 f LEFT JOIN wiki w ON w.title = f.name
 ),
+gcand2 AS (
+  -- depth 2: ordered targets of the name's link hub
+  SELECT f.map_slug, f.seq, f.lat, f.lon, l.ord AS ord1, -1 AS ord2,
+         l.target AS cand,
+         (t."exists" IS TRUE AND t.has_box IS TRUE
+          AND t.wiki_lat IS NOT NULL AND {hav_t} <= 20.0) AS ok,
+         (t."exists" IS TRUE AND t.has_box IS NOT TRUE) AS rec
+  FROM base2 f
+  JOIN links l ON l.title = f.name || ' (вишезначна одредница)'
+  LEFT JOIN wiki t ON t.title = l.target
+),
+gcand3 AS (
+  -- depth 3: a boxless existing depth-2 target may itself be a hub
+  SELECT c.map_slug, c.seq, c.lat, c.lon, c.ord1, l2.ord AS ord2,
+         l2.target AS cand,
+         (t."exists" IS TRUE AND t.has_box IS TRUE
+          AND t.wiki_lat IS NOT NULL AND {hav_t3} <= 20.0) AS ok,
+         FALSE AS rec
+  FROM gcand2 c
+  JOIN links l2 ON c.rec AND l2.title = c.cand
+  LEFT JOIN wiki t ON t.title = l2.target
+),
 gdis AS (
-  SELECT map_slug, seq, target FROM (
-    SELECT f.map_slug, f.seq, l.target,
-           row_number() OVER (PARTITION BY f.map_slug, f.seq
-                              ORDER BY l.ord) AS rn
-    FROM base2 f
-    JOIN links l ON l.title = f.name || ' (вишезначна одредница)'
-    JOIN wiki t ON t.title = l.target
-    WHERE t."exists" IS TRUE AND t.has_box IS TRUE
-      AND t.wiki_lat IS NOT NULL AND {hav_t} <= 20.0
+  -- first DFS-order accepted candidate: lexicographic (ord1, ord2)
+  SELECT map_slug, seq, cand AS target FROM (
+    SELECT map_slug, seq, cand,
+           row_number() OVER (PARTITION BY map_slug, seq
+                              ORDER BY ord1, ord2) AS rn
+    FROM (SELECT * FROM gcand2 UNION ALL SELECT * FROM gcand3)
+    WHERE ok
   ) WHERE rn = 1
 ),
 guessx AS (

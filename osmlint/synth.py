@@ -267,15 +267,41 @@ def _gen_wiki_ref(rng, pool, serbia_df):
     label_sr[label_mismatch] = np.array([s + " (град)" for s in cyr[label_mismatch]],
                                         dtype=object)
 
+    # disambiguation pages + their targets (for the _guess_from_wikipedia
+    # walk, reference src/checks.py:46-134).  Three generated shapes:
+    #   plain   — depth-2 resolution (boxless dead-end river + boxed place);
+    #   deep    — the river target (ord 0) is ITSELF a hub whose ordered
+    #             links resolve at depth 3 (reference's recursion into
+    #             linked / "друго значење" pages); its first child is a
+    #             boxless dead end, its second the accepting boxed page —
+    #             which wins DFS order (0,1) over the boxed depth-2 place
+    #             at (1,-1);
+    #   deep3only — the depth-2 place is boxless too: ONLY the depth-3
+    #             child resolves (exercises the full depth bound).
+    dis = rng.random(psize) < 0.04
+    deep = rng.random(psize) < 0.5
+    deep3only = rng.random(psize) < 0.5
+    # a hub is only reachable when the direct page exists WITHOUT a box
+    # (the walk's entry condition) — make every generated hub walkable
+    exists[dis] = True
+    has_box[dis] = False
+    # ... and resolvable: pin the hub targets' box coords near the FIRST
+    # entity carrying the name at all (the sr:-tag override above only
+    # covers tagged names, but the walk fires for docs MISSING the tag)
+    first_any = serbia_df.groupby("name_idx", sort=False).first()
+    ia = first_any.index.to_numpy()
+    sel = dis[ia]
+    wlat[ia[sel]] = np.round(first_any["lat"].to_numpy()[sel]
+                             + rng.normal(0, 0.05, int(sel.sum())), 7)
+    wlon[ia[sel]] = np.round(first_any["lon"].to_numpy()[sel]
+                             + rng.normal(0, 0.05, int(sel.sum())), 7)
+
     wiki_ref = pd.DataFrame({
         "title": cyr, "exists": exists, "has_box": has_box,
         "wiki_lat": np.where(has_box, wlat, np.nan),
         "wiki_lon": np.where(has_box, wlon, np.nan),
         "qid": qids, "is_disambig": False,
     })
-    # disambiguation pages + their targets (for the _guess_from_wikipedia walk,
-    # reference src/checks.py:46-134)
-    dis = rng.random(psize) < 0.04
     links = []
     extra = []
     for i in np.nonzero(dis)[0]:
@@ -283,9 +309,19 @@ def _gen_wiki_ref(rng, pool, serbia_df):
         t1, t2 = cyr[i] + " (река)", cyr[i] + " (место)"
         extra.append((dtitle, True, False, np.nan, np.nan, None, True))
         extra.append((t1, True, False, np.nan, np.nan, None, False))
-        extra.append((t2, True, True, wlat[i], wlon[i], None, False))
         links.append((dtitle, 0, t1))
+        if deep[i] and deep3only[i]:
+            # depth-2 place exists but is boxless — a dead end
+            extra.append((t2, True, False, np.nan, np.nan, None, False))
+        else:
+            extra.append((t2, True, True, wlat[i], wlon[i], None, False))
         links.append((dtitle, 1, t2))
+        if deep[i]:
+            g1, g2 = cyr[i] + " (острво)", cyr[i] + " (планина)"
+            extra.append((g1, True, False, np.nan, np.nan, None, False))
+            extra.append((g2, True, True, wlat[i], wlon[i], None, False))
+            links.append((t1, 0, g1))
+            links.append((t1, 1, g2))
     if extra:
         wiki_ref = pd.concat([wiki_ref, pd.DataFrame(
             extra, columns=["title", "exists", "has_box", "wiki_lat", "wiki_lon",

@@ -270,3 +270,35 @@ def test_generic_sophox_fix_mixed_actions_one_batch():
     gs = out[out["check_name"] == "checks.GenericSophoxCheck"]
     assert sorted(gs["action"]) == ["add", "delete", "set"]
     assert set(gs["tag"]) == {"name:sr"}
+
+
+def test_guess_from_wiki_depth3_walk():
+    """The bounded DFS of _guess_from_wikipedia (src/checks.py:46-134):
+    direct accept, boxed-but-far stop, depth-2 target accept, depth-3
+    hub recursion, DFS ordering (child subtree before next sibling)."""
+    from osmlint import fixes
+    wiki = pd.DataFrame({
+        "title":   ["А", "Б", "В", "Г",
+                    "Г (река)", "Г (место)", "Г (острво)", "Г (планина)"],
+        "exists":  [True, True, True, True, True, True, True, True],
+        "has_box": [True, True, False, False, False, True, False, True],
+        "wiki_lat": [44.0, 50.0, None, None, None, 44.0, None, 44.0],
+        "wiki_lon": [20.0, 30.0, None, None, None, 20.0, None, 20.0],
+    }).set_index("title")
+    links = pd.DataFrame({
+        "title":  ["Г (вишезначна одредница)", "Г (вишезначна одредница)",
+                   "Г (река)", "Г (река)"],
+        "ord":    [0, 1, 0, 1],
+        "target": ["Г (река)", "Г (место)", "Г (острво)", "Г (планина)"],
+    })
+    names = pd.Series(["А", "Б", "В", "Г", "Д"])
+    lat = np.full(5, 44.0)
+    lon = np.full(5, 20.0)
+    got = fixes.guess_from_wiki(names, lat, lon, wiki, links).tolist()
+    assert got[0] == "А"            # direct boxed hit within 20 km
+    assert got[1] is None           # boxed but far: stop, no walk
+    assert got[2] is None           # boxless, no hub: dead end
+    # DFS: ord1=0 subtree ("Г (река)" -> boxless -> its children, where
+    # "Г (планина)" accepts at (0,1)) wins over "Г (место)" at (1,-1)
+    assert got[3] == "Г (планина)"
+    assert got[4] is None           # page doesn't exist
