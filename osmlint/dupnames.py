@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from . import geo
-from .pipeline import decode_and_index, read_documents
+from .pipeline import decode_and_index, read_documents, to_arrow
 
 DEFAULT_RES = 12          # 2^12 grid: ~4.9 km cell height > radius 2 km
 DEFAULT_RADIUS_KM = 2.0
@@ -81,7 +81,7 @@ def replicate_to_cells(batch: pa.Table, *, res: int, group_res: int,
         "lat": lat[rows], "lon": lon[rows],
     })
     out["bucket"] = _stable_bucket(out["name"], n_buckets)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return to_arrow(out)
 
 
 def pairs_in_group(g: pd.DataFrame, *, radius_km: float) -> pa.Table:
@@ -98,11 +98,10 @@ def pairs_in_group(g: pd.DataFrame, *, radius_km: float) -> pa.Table:
     d = geo.haversine_km(m["lat_a"].to_numpy(), m["lon_a"].to_numpy(),
                          m["lat_b"].to_numpy(), m["lon_b"].to_numpy())
     m = m[d <= radius_km]
-    return pa.Table.from_pandas(
+    return to_arrow(
         pd.DataFrame({"name": m["name"].to_numpy(),
                       "doc_a": m["doc_id_a"].to_numpy(),
-                      "doc_b": m["doc_id_b"].to_numpy()}),
-        schema=PAIRS_SCHEMA, preserve_index=False)
+                      "doc_b": m["doc_id_b"].to_numpy()}), PAIRS_SCHEMA)
 
 
 PAIRS_SCHEMA = pa.schema([("name", pa.string()), ("doc_a", pa.string()),
@@ -138,8 +137,7 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
         out = df.loc[keep, ["doc_id", "seq", "name", "lat", "lon"]]
         out["_b"] = (pd.util.hash_array(out["doc_id"].to_numpy(dtype=object))
                      % np.uint64(64)).astype(np.int64)
-        return pa.Table.from_pandas(out, schema=NAMED_SCHEMA,
-                                    preserve_index=False)
+        return to_arrow(out, NAMED_SCHEMA)
 
     ds = ds.map_batches(named_ctv, batch_format="pyarrow")
 
@@ -156,8 +154,7 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
         g = g.sort_values(["doc_id", "seq", "name", "lat", "lon"],
                           kind="stable")
         g = g.drop_duplicates("doc_id", keep="last")
-        return pa.Table.from_pandas(g, schema=NAMED_SCHEMA,
-                                    preserve_index=False)
+        return to_arrow(g, NAMED_SCHEMA)
 
     deduped = ds.repartition(16).groupby("_b").map_groups(
         dedup_group, batch_format="pandas").materialize()
@@ -172,14 +169,12 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
     def name_partial(df: pd.DataFrame) -> pa.Table:
         c = df.groupby("name", sort=False).size().reset_index(name="c")
         c["_nb"] = _stable_bucket(c["name"], 64)
-        return pa.Table.from_pandas(c, schema=freq_schema,
-                                    preserve_index=False)
+        return to_arrow(c, freq_schema)
 
     def hot_in_bucket(g: pd.DataFrame) -> pa.Table:
         tot = g.groupby("name", sort=False)["c"].sum()
-        return pa.Table.from_pandas(
-            tot[tot > max_name_freq].reset_index()[["name"]],
-            schema=hot_schema, preserve_index=False)
+        return to_arrow(tot[tot > max_name_freq].reset_index()[["name"]],
+                        hot_schema)
 
     hot = set(deduped.map_batches(name_partial, batch_format="pandas")
               .repartition(8).groupby("_nb")
@@ -190,8 +185,7 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
 
     def drop_hot(df: pd.DataFrame) -> pa.Table:
         out = df[~df["name"].isin(hot)].drop(columns="_b")
-        return pa.Table.from_pandas(out, schema=dedup_schema,
-                                    preserve_index=False)
+        return to_arrow(out, dedup_schema)
     ds = deduped.map_batches(drop_hot, batch_format="pandas")
 
     ds = ds.map_batches(replicate_to_cells, batch_format="pyarrow",

@@ -68,7 +68,10 @@ def sessionize(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              >> np.uint64(40)).astype(np.int64) % n_buckets
-        return batch.append_column("_b", pa.array(b, type=pa.int64()))
+        # strip the parquet-read pandas metadata: every block entering the
+        # shuffle then shares one hashable schema (no schema-dedup warnings)
+        return batch.append_column("_b", pa.array(b, type=pa.int64())) \
+            .replace_schema_metadata(None)
 
     gap = np.timedelta64(GAP_MIN, "m")
 
@@ -116,7 +119,8 @@ def asof_attribution(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              >> np.uint64(40)).astype(np.int64) % n_buckets
-        return batch.append_column("_b", pa.array(b, type=pa.int64()))
+        return batch.append_column("_b", pa.array(b, type=pa.int64())) \
+            .replace_schema_metadata(None)
 
     def join(g: pd.DataFrame) -> pa.Table:
         p = g[g["event_type"] == "purchase"].sort_values("ts", kind="stable")

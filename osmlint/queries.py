@@ -73,8 +73,7 @@ def pip_tile_join(sf_dir: str) -> pd.DataFrame:
         df = batch.select(["country", "tile_name"]).to_pandas()
         df = df.fillna("(none)")
         out = df.groupby(["country", "tile_name"], sort=False).size()
-        return pa.Table.from_pandas(out.reset_index(name="n"),
-                                    preserve_index=False)
+        return pipeline.to_arrow(out.reset_index(name="n"))
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["country", "tile_name"])
