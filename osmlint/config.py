@@ -79,3 +79,27 @@ def map_checks_by_slug() -> dict[str, list[MapCheck]]:
     for mc in default_map_checks():
         out.setdefault(mc.slug, []).append(mc)
     return out
+
+
+def from_json(cfg) -> list[MapCheck]:
+    """The reference's config.json contract (config.json:1-39): named groups
+    × ``{maps: {name -> location}, checks: [FQN strings]}``, Cartesian-
+    expanded to map-checks named ``"<group> (<map>)"`` (src/main.py:172-182).
+    Here a map's location is its docs partition slug.  FQNs are resolved
+    against the check REGISTRY — never ``eval``'d like the reference
+    (src/main.py:165-170); an unknown FQN fails fast at load."""
+    import json
+
+    from . import checks as checks_mod
+    if isinstance(cfg, str):
+        with open(cfg) as f:
+            cfg = json.load(f)
+    mcs: list[MapCheck] = []
+    for group, spec in cfg.items():
+        fqns = tuple(spec["checks"])
+        unknown = [f for f in fqns if f not in checks_mod.CHECKS]
+        if unknown:
+            raise KeyError(f"unknown check FQNs in group {group!r}: {unknown}")
+        for map_name, slug in spec["maps"].items():
+            mcs.append(MapCheck(f"{group} ({map_name})", slug, group, fqns))
+    return mcs

@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from . import geo
-from .pipeline import decode_and_index, read_documents, to_arrow
+from .pipeline import decode_and_index, read_documents, shuffle_blocks, to_arrow
 
 DEFAULT_RES = 12          # 2^12 grid: ~4.9 km cell height > radius 2 km
 DEFAULT_RADIUS_KM = 2.0
@@ -156,7 +156,7 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
         g = g.drop_duplicates("doc_id", keep="last")
         return to_arrow(g, NAMED_SCHEMA)
 
-    deduped = ds.repartition(16).groupby("_b").map_groups(
+    deduped = ds.repartition(shuffle_blocks()).groupby("_b").map_groups(
         dedup_group, batch_format="pandas").materialize()
 
     # hot ("stop") names over the DEDUPED stream: per-batch count partials,
@@ -177,7 +177,7 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
                         hot_schema)
 
     hot = set(deduped.map_batches(name_partial, batch_format="pandas")
-              .repartition(8).groupby("_nb")
+              .repartition(shuffle_blocks()).groupby("_nb")
               .map_groups(hot_in_bucket, batch_format="pandas")
               .to_pandas()["name"])
 

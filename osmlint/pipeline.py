@@ -12,13 +12,14 @@ src/main.py:223-232 — here parallelism is per block, map identity is data):
   chain into one task per block, warm workers reuse the STRtree / lookup
   state built from ``ray.put`` broadcasts, and no stage reserves CPUs;
 * per-source last-wins dedup (src/sources/osm_source.py:43) is a broadcast
-  anti-join — collision keys come from one narrow numeric reduction, the
-  big stream never shuffles; the cross-source first-wins merge
-  (src/main.py:95-112) is a bucketed keyed shuffle with a deterministic
-  ordering column (map_order);
+  anti-join — collision keys come from a distributed narrow pre-pass
+  (``collision_keys``: Arrow-only key projection, bucket groupby, per-bucket
+  numpy reduce; the driver sees only collisions), the big stream never
+  shuffles; the cross-source first-wins merge (src/main.py:95-112) is a
+  bucketed keyed shuffle with a deterministic ordering column (map_order);
 * report aggregations (src/main.py:52-92) pre-aggregate inside map_batches
-  and the tiny per-key partials are combined on the driver (tree-reduce at
-  cluster scale).
+  and reduce through a bucket-keyed distributed second level — nothing on
+  the driver grows with #docs.
 """
 
 from __future__ import annotations
@@ -73,9 +74,23 @@ def doc_partitions(data_dir: str) -> list[str]:
                   if d.startswith("map="))
 
 
-def read_documents(data_dir: str) -> rd.Dataset:
+def read_blocks() -> int:
+    """Read-task coalescing target: the hive-partitioned doc table has
+    thousands of small fragments, and one read task per fragment makes the
+    narrow passes SCHEDULING-bound (measured 20.2s -> 7.4s for the
+    collision pre-pass at 8 CPUs with ~2k fragments).  ~4 blocks per CPU
+    keeps the pipeline busy without per-fragment task overhead."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, cpus * 4)
+
+
+def read_documents(data_dir: str, *, coalesce: bool = True) -> rd.Dataset:
+    kw = {"override_num_blocks": read_blocks()} if coalesce else {}
     return rd.read_parquet(os.path.join(data_dir, "docs"),
-                           columns=["doc_id", "spans"])
+                           columns=["doc_id", "spans"], **kw)
 
 
 def decode_and_index(batch: pa.Table) -> pa.Table:
@@ -237,7 +252,18 @@ def auto_concurrency(n_pools: int = 2) -> int:
 
 
 N_BUCKETS = 64     # coarse shuffle key: ~#CPUs×2 groups per map; raise with scale
-SHUFFLE_BLOCKS = 16  # coalesce target before small keyed shuffles; scale with cluster
+SHUFFLE_BLOCKS = 16  # floor for the pre-shuffle coalesce target
+
+
+def shuffle_blocks() -> int:
+    """Coalesce target before small keyed shuffles: a groupby over hundreds
+    of KB-sized read blocks is dominated by per-block task overhead
+    (measured 10.6s -> 0.4s at sf0.1), but the count must grow with the
+    cluster so reduce parallelism isn't capped on real deployments."""
+    try:
+        return max(SHUFFLE_BLOCKS, int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        return SHUFFLE_BLOCKS
 
 
 def _bucket_of(osm_id: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -388,14 +414,15 @@ def collision_keys(data_dir: str, slugs: list[str],
     parquet beats pinning the whole decode in the object store at scale)."""
     slug2code = {s: i for i, s in enumerate(slugs)}
     path = read_path or os.path.join(data_dir, "docs")
-    ds = rd.read_parquet(path, columns=["doc_id", "spans"])
+    ds = rd.read_parquet(path, columns=["doc_id", "spans"],
+                         override_num_blocks=read_blocks())
     parts = ds.map_batches(_collision_proj, batch_format="pyarrow",
                            fn_kwargs={"slug2code": slug2code,
                                       "n_buckets": n_buckets})
-    # coalesce the many tiny per-read-fragment partials before the keyed
-    # shuffle: a groupby over hundreds of KB-sized blocks is dominated by
-    # per-block task overhead (measured 10.6s -> 0.4s at sf0.1)
-    dups = parts.repartition(SHUFFLE_BLOCKS).groupby("_b").map_groups(
+    # the read is already coalesced to ~4 blocks/CPU (read_blocks), so the
+    # keyed shuffle sees few, fat partial blocks — no repartition barrier
+    # needed before it
+    dups = parts.groupby("_b").map_groups(
         _dup_in_bucket, batch_format="pyarrow").to_pandas()
     inv = {i: s_ for s_, i in slug2code.items()}
     kk = dups["key"].to_numpy() if len(dups) else np.array([], dtype=np.int64)
@@ -521,7 +548,7 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
         return to_arrow(per_map, _SUMMARY_BUCKET)
 
     parts = flags.map_batches(partial, batch_format="pandas")
-    p = parts.repartition(SHUFFLE_BLOCKS).groupby("_b").map_groups(
+    p = parts.repartition(shuffle_blocks()).groupby("_b").map_groups(
         bucket_reduce, batch_format="pandas").to_pandas()
     df = p.groupby("map_name", as_index=False)[["n", "e", "f"]].sum() \
         .rename(columns={"n": "count_map_checks", "e": "count_map_errors",

@@ -135,6 +135,11 @@ def dedup_minhash(sf_dir: str):
     return textops.minhash_dup_pairs(sf_dir)
 
 
+def dedup_simhash(sf_dir: str):
+    from . import textops
+    return textops.simhash_dup_pairs(sf_dir)
+
+
 def dedup_ngram_jaccard(sf_dir: str):
     from . import textops
     return textops.ngram_jaccard_pairs(sf_dir)
@@ -248,6 +253,7 @@ def ray_queries() -> dict:
         "dedup_exact": dedup_exact,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,

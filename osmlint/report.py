@@ -25,56 +25,89 @@ import pandas as pd
 from . import pipeline
 
 
-def render_report(flags_ds, *, title: str = "Serbian OSM lint") -> str:
-    """flags Dataset -> self-contained HTML string."""
+def render_report(flags_ds, *, date=None) -> str:
+    """flags Dataset -> HTML string structured like the reference's
+    src/templates/report_template.html: a Summary block (maps processed +
+    global totals), a "By countries" per-map table, a "By check type"
+    table, and per-map "Errors" sections whose entity cells LINK to
+    ``https://www.openstreetmap.org/<type>/<id>`` (template line 99).
+    One message per (entity, check) row in the merged model, so the
+    template's multi-message <ul> branch cannot occur."""
+    import datetime as _dt
     summary = pipeline.summary_per_map(flags_ds)
     per_check = pipeline.per_check_type(flags_ds)
     merged = pipeline.merge_overall(flags_ds).to_pandas()
+    d = date or _dt.date.today()
 
-    out = [f"<html><head><meta charset='utf-8'><title>{_html.escape(title)}"
-           "</title></head><body>",
-           f"<h1>{_html.escape(title)}</h1>"]
+    def esc(s) -> str:
+        return _html.escape(str(s))
 
-    # A1 — per-map summary (maps sorted by name) + global totals
-    out.append("<h2>Maps</h2><table border='1'><tr><th>map</th>"
-               "<th>entities checked</th><th>errors</th><th>fixable</th></tr>")
+    out = ["<html><head><meta charset='utf-8'>"
+           "<title>Serbian OSM lint - Results</title></head>"
+           "<body><div class='container-fluid'><div id='bodyColumn'>",
+           "<div class='section'>"
+           f"<h2>Serbian OSM lint report for {d.strftime('%d.%m.%Y.')}</h2>"
+           "</div>"]
+
+    # Summary (template lines 20-37): maps processed + global totals
+    out.append("<div class='section'><h2><a name='Summary'></a>Summary</h2>"
+               "<table class='table table-striped' border='0'><tbody>"
+               "<tr class='a'><th>Maps processed</th><th>Total checks</th>"
+               "<th>Total errors</th><th>Auto fixable errors</th></tr>"
+               f"<tr class='b'><td>{len(summary)}</td>"
+               f"<td>{summary.count_map_checks.sum()}</td>"
+               f"<td>{summary.count_map_errors.sum()}</td>"
+               f"<td>{summary.count_map_fixable_errors.sum()}</td></tr>"
+               "</tbody></table></div>")
+
+    # By countries (template lines 39-60): A1 rows, maps sorted by name
+    out.append("<div class='section'><h2><a name='Countries'></a>"
+               "By countries</h2>"
+               "<table class='table table-striped' border='0'><tbody>"
+               "<tr class='a'><th>Country</th><th>Total checks</th>"
+               "<th>Total errors</th><th>Auto fixable errors</th></tr>")
     for r in summary.itertuples():
-        out.append(f"<tr><td>{_html.escape(r.map_name)}</td>"
+        out.append(f"<tr class='b'><td>{esc(r.map_name)}</td>"
                    f"<td>{r.count_map_checks}</td><td>{r.count_map_errors}"
                    f"</td><td>{r.count_map_fixable_errors}</td></tr>")
-    out.append(f"<tr><th>TOTAL</th><th>{summary.count_map_checks.sum()}</th>"
-               f"<th>{summary.count_map_errors.sum()}</th>"
-               f"<th>{summary.count_map_fixable_errors.sum()}</th></tr>"
-               "</table>")
+    out.append("</tbody></table></div>")
 
-    # A2 — per-check-type summary (sorted by FQN, docstring as explanation)
-    out.append("<h2>Checks</h2><table border='1'><tr><th>check</th>"
-               "<th>explanation</th><th>total</th><th>errors</th></tr>")
+    # By check type (template lines 62-81): A2, sorted by FQN
+    out.append("<div class='section'><h2><a name='Rules'></a>"
+               "By check type</h2>"
+               "<table class='table table-striped' border='0'><tbody>"
+               "<tr class='a'><th>Check</th><th>Explanation</th>"
+               "<th>Total checks</th><th>Total errors</th></tr>")
     for r in per_check.itertuples():
-        out.append(f"<tr><td>{_html.escape(r.check_name)}</td>"
-                   f"<td>{_html.escape(r.explanation)}</td>"
+        out.append(f"<tr class='b'><td>{esc(r.check_name)}</td>"
+                   f"<td>{esc(r.explanation)}</td>"
                    f"<td>{r.count_total_checks}</td>"
                    f"<td>{r.count_total_errors}</td></tr>")
-    out.append("</table>")
+    out.append("</tbody></table></div>")
 
-    # A3+A4+A6 — per overall map, error rows only, entities sorted by
-    # display name
+    # Errors (template lines 83-120): per overall map, CHECKED_ERROR rows
+    # only (result.value == 3, A6), entities sorted by display name (A4),
+    # entity cell links to the OSM object
     errors = merged[merged["result"] == "CHECKED_ERROR"]
+    out.append("<div class='section'><h2><a name='Errors'></a>Errors</h2>")
     for overall in sorted(errors["map_overall"].unique()):
         sub = errors[errors["map_overall"] == overall]
         sub = sub.sort_values(["display_name", "check_name"], kind="stable")
-        out.append(f"<h2>Errors — {_html.escape(str(overall))}</h2>"
-                   "<table border='1'><tr><th>entity</th><th>type</th>"
-                   "<th>check</th><th>message</th><th>fixable</th></tr>")
+        out.append(f"<div class='section'><h3 id='{esc(overall)}'>"
+                   f"{esc(overall)}</h3>"
+                   "<table class='table table-striped' border='0'><tbody>"
+                   "<tr class='a'><th>Entity</th><th>Check</th>"
+                   "<th>Message</th></tr>")
         for r in sub.itertuples():
+            href = (f"https://www.openstreetmap.org/"
+                    f"{esc(r.entity_type)}/{r.osm_id}")
             out.append(
-                f"<tr><td>{_html.escape(str(r.display_name))}</td>"
-                f"<td>{_html.escape(str(r.entity_type))}</td>"
-                f"<td>{_html.escape(r.check_name)}</td>"
-                f"<td>{_html.escape(str(r.message))}</td>"
-                f"<td>{'yes' if r.fixable else 'no'}</td></tr>")
-        out.append("</table>")
-    out.append("</body></html>")
+                f"<tr class='b'><td><a href='{href}'>"
+                f"{esc(r.display_name)}</a></td>"
+                f"<td>{esc(r.check_name)}</td>"
+                f"<td>{esc(r.message)}</td></tr>")
+        out.append("</tbody></table></div>")
+    out.append("</div></div></div></body></html>")
     return "\n".join(out)
 
 

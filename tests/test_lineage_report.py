@@ -45,14 +45,20 @@ def test_report_render(ray_session, synth_small, tmp_path):
     p = str(tmp_path / "report.html")
     report.write_report(synth_small, p)
     html = open(p).read()
-    assert "<h1>" in html and "Serbia checks (PBF)" in html
+    # reference template structure (src/templates/report_template.html):
+    # Summary / By countries / By check type / Errors sections
+    assert "Serbian OSM lint - Results" in html
+    assert "<a name='Summary'></a>Summary" in html
+    assert "By countries" in html and "By check type" in html
+    assert "Serbia checks (PBF)" in html
     assert "checks.WikipediaEntryExistsCheck" in html
-    # A6: only error rows are listed — an OK-only check name row count sanity
-    assert "Errors — Serbia checks" in html
-    # entities sorted by display name within a section
+    # entity cells link to the OSM object (template line 99)
+    assert "https://www.openstreetmap.org/node/" in html
+    # entities sorted by display name within an Errors section (A4);
+    # A6: only error rows are listed
     import re
-    sec = html.split("Errors — Serbia checks", 1)[1].split("</table>")[0]
-    names = re.findall(r"<tr><td>([^<]*)</td>", sec)
+    sec = html.split("<h3 id='Serbia checks'>", 1)[1].split("</table>")[0]
+    names = re.findall(r"<a href='[^']*'>([^<]*)</a>", sec)
     assert names == sorted(names)
 
 

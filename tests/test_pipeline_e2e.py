@@ -104,3 +104,31 @@ def test_pip_assignment(ray_session, synth_small):
     in_core = (df["lat"].between(tiles.minlat.min(), tiles.maxlat.max())
                & df["lon"].between(tiles.minlon.min(), tiles.maxlon.max()))
     assert (df.loc[in_core, "tile_id"] >= 0).mean() > 0.999
+
+
+def test_config_from_json(synth_small):
+    """§2.7 user-extension surface: the reference config.json contract
+    (groups x maps x check FQNs, Cartesian expansion, registry-resolved)."""
+    from osmlint import config, pipeline
+    import pyarrow as pa
+    cfg = {
+        "Serbia checks": {
+            "maps": {"PBF": "serbia_pbf"},
+            "checks": ["checks.NameMissingCheck", "checks.NameCyrillicCheck"],
+        },
+    }
+    mcs = config.from_json(cfg)
+    assert [m.map_name for m in mcs] == ["Serbia checks (PBF)"]
+    assert mcs[0].serbia_mode and mcs[0].slug == "serbia_pbf"
+    # the custom suite actually drives FlagStage
+    ds = pipeline.read_documents(synth_small)
+    ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+    batch = ds.take_batch(512, batch_format="pyarrow")
+    stage = pipeline.FlagStage(map_checks=mcs)
+    out = stage(batch).to_pandas()
+    assert set(out["check_name"]) <= {"checks.NameMissingCheck",
+                                      "checks.NameCyrillicCheck"}
+    import pytest
+    with pytest.raises(KeyError, match="unknown check FQNs"):
+        config.from_json({"G": {"maps": {"m": "s"},
+                                "checks": ["checks.NopeCheck"]}})

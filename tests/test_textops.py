@@ -117,3 +117,22 @@ def test_minhash_subset_of_exact(doc_dir):
     allp = textops.ngram_jaccard_pairs(doc_dir, tau=0.5)
     assert set(zip(pairs.doc_a, pairs.doc_b)) <= \
         set(zip(allp.doc_a, allp.doc_b))
+
+
+def test_simhash_dup_pairs(doc_dir):
+    """Block-key bucketing finds every pair within max_hamming bits —
+    the identical pair at hamming 0, and nothing outside the bound."""
+    pairs = textops.simhash_dup_pairs(doc_dir, max_hamming=3)
+    got = dict(zip(zip(pairs.doc_a, pairs.doc_b), pairs.hamming))
+    assert got.get((100, 101)) == 0              # identical text
+    # verify bound + exactness vs brute force over all simhashes
+    sh = textops.simhash_docs(doc_dir).to_pandas() \
+        .set_index("doc_id")["simhash"]
+    ids = sorted(sh.index)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(int(sh[a]) ^ int(sh[b])).count("1")
+            if h <= 3:
+                exp[(a, b)] = h
+    assert got == exp
