@@ -320,3 +320,26 @@ def topk_neighbors_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
     top = parts.groupby("query_id", sort=True).head(k).copy()
     top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
     return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (training-data compression stage)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(sf_dir: str) -> rd.Dataset:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_d = floor(x_d / scale + 0.5).  Output is LONG form (vec_id, dim_idx,
+    q, scale) so the oracle compares scalar columns, and floor(x+0.5) is
+    used instead of round() on both sides (numpy round is banker's,
+    DuckDB's is half-away — floor+0.5 is identical everywhere)."""
+    def quant(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        n, dim = m.shape
+        scale = np.maximum(np.abs(m).max(axis=1) / 127.0, 1e-30)
+        q = np.floor(m / scale[:, None] + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dim), type=pa.int64()),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1), type=pa.int64()),
+            "scale": pa.array(np.repeat(scale, dim), type=pa.float64())})
+    return read_embeddings(sf_dir).map_batches(quant, batch_format="pyarrow")

@@ -781,3 +781,69 @@ ASOF LEFT JOIN (SELECT * FROM events
                 WHERE event_type IN ('view', 'click')) s
   ON p.user_id = s.user_id AND s.ts < p.ts
 ORDER BY p.event_id"""
+
+
+CORPUS_FILTER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS tx FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(tx, '\S+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(tx, '[.,;:!?]')) AS BIGINT) AS punct_cnt,
+    CAST(len(regexp_extract_all(tx, '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT) AS stop_cnt,
+    CAST(length(tx) AS BIGINT) AS n_chars
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+    + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)))
+    AS quality
+FROM c
+WHERE stop_cnt > 0
+  AND 0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+    + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / greatest(n_tokens, 1)))
+    >= 0.5
+ORDER BY doc_id"""
+
+
+CORPUS_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, coalesce(text, '') AS tx FROM documents
+), c AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(tx, '\S+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(tx, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS bpe_tokens,
+    CAST(len(regexp_extract_all(tx, '[.,;:!?]')) AS BIGINT) AS punct_cnt,
+    CAST(len(regexp_extract_all(tx, '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT) AS stop_cnt,
+    CAST(length(tx) AS BIGINT) AS n_chars
+  FROM t
+)
+SELECT CASE WHEN stop_cnt > 0 THEN 'en' ELSE 'unknown' END AS lang_pred,
+       source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+       round(avg(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+         + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                                   / greatest(n_tokens, 1)))), 6)
+         AS mean_quality
+FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         greatest(CAST(list_max(list_transform(embedding, x -> abs(x)))
+                       AS DOUBLE) / 127.0, 1e-30) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(u.i - 1 AS BIGINT) AS dim_idx,
+       CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) / scale + 0.5) AS BIGINT)
+         AS q,
+       CAST(scale AS DOUBLE) AS scale
+FROM e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+ORDER BY vec_id, dim_idx"""

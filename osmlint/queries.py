@@ -145,6 +145,21 @@ def dedup_ngram_jaccard(sf_dir: str):
     return textops.ngram_jaccard_pairs(sf_dir)
 
 
+def corpus_filter(sf_dir: str):
+    from . import textops
+    return textops.corpus_filter(sf_dir)
+
+
+def corpus_stats(sf_dir: str):
+    from . import textops
+    return textops.corpus_stats(sf_dir)
+
+
+def embedding_quantize(sf_dir: str):
+    from . import ann
+    return ann.quantize_embeddings(sf_dir)
+
+
 def ann_topk(sf_dir: str):
     from . import ann
     return ann.topk_neighbors(sf_dir, k=ANN_K, n_queries=ANN_NQ)
@@ -255,6 +270,9 @@ def ray_queries() -> dict:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "corpus_filter": corpus_filter,
+        "corpus_stats": corpus_stats,
+        "embedding_quantize": embedding_quantize,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -291,6 +309,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard
         "dedup_ngram_jaccard": oracle_sql.ngram_jaccard_sql(0.3),
+        "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
+        "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
+        "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         "embedding_cosine_pairs": oracle_sql.cosine_pairs_sql(COS_TAU),
         # LSH multiprobe recall verified == exact at gate scale (pytest

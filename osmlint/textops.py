@@ -431,3 +431,56 @@ def simhash_dup_pairs(sf_dir: str,
     df["hamming"] = df["hamming"].astype(np.int64)
     return df[["doc_a", "doc_b", "hamming"]] \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: quality filter + per-(lang, source) rollup
+# ---------------------------------------------------------------------------
+
+def corpus_filter(sf_dir: str, min_quality: float = 0.5,
+                  lang: str = "en") -> rd.Dataset:
+    """Training-corpus quality gate: keep docs with quality >= threshold in
+    the target language; emit (doc_id, n_tokens, quality).  One stateless
+    vectorized pass — the canonical pre-training filter stage."""
+    def keep(batch: pa.Table) -> pa.Table:
+        stats = stats_batch(batch)
+        q = stats["quality"].to_numpy(zero_copy_only=False)
+        lp = stats["lang_pred"].to_numpy(zero_copy_only=False)
+        m = (q >= min_quality) & (lp == lang)
+        return pa.table({
+            "doc_id": stats["doc_id"].filter(pa.array(m)),
+            "n_tokens": stats["n_tokens"].filter(pa.array(m)),
+            "quality": stats["quality"].filter(pa.array(m))})
+    return read_docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-(lang_pred, source) corpus rollup: docs, token totals, mean
+    quality.  Per-batch vectorized partials -> small distributed groupby;
+    the mean is rounded to 6 decimals on both the Ray and SQL side
+    (parallel float reduction order differs)."""
+    part_schema = pa.schema([
+        ("lang_pred", pa.string()), ("source", pa.string()),
+        ("n", pa.int64()), ("tok", pa.int64()), ("bpe", pa.int64()),
+        ("qsum", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stats = stats_batch(batch).to_pandas()
+        stats["source"] = batch["source"].to_numpy(zero_copy_only=False)
+        g = stats.groupby(["lang_pred", "source"], sort=False).agg(
+            n=("doc_id", "size"), tok=("n_tokens", "sum"),
+            bpe=("bpe_tokens", "sum"), qsum=("quality", "sum")) \
+            .reset_index()
+        return to_arrow(g, part_schema)
+
+    agg = read_docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang_pred", "source"]).aggregate(
+            Sum("n", alias_name="n_docs"), Sum("tok", alias_name="sum_tokens"),
+            Sum("bpe", alias_name="sum_bpe_tokens"),
+            Sum("qsum", alias_name="qsum"))
+    df = agg.to_pandas()
+    for c in ("n_docs", "sum_tokens", "sum_bpe_tokens"):
+        df[c] = df[c].astype(np.int64)
+    df["mean_quality"] = (df["qsum"] / df["n_docs"]).round(6)
+    return df.drop(columns="qsum") \
+        .sort_values(["lang_pred", "source"]).reset_index(drop=True)
