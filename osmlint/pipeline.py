@@ -397,6 +397,9 @@ def _dup_in_bucket(t: pa.Table) -> pa.Table:
                      "max_seq": pa.array(mx[dup], type=pa.int64())})
 
 
+_COLLISION_CACHE: dict = {}
+
+
 def collision_keys(data_dir: str, slugs: list[str],
                    *, read_path: str | None = None,
                    n_buckets: int = N_BUCKETS) -> pd.DataFrame:
@@ -411,9 +414,16 @@ def collision_keys(data_dir: str, slugs: list[str],
     hash bucket, and the per-bucket numpy reduce emits ONLY duplicated
     keys.  The driver sees O(#collisions), never O(#docs); the big decoded
     stream is neither shuffled nor materialized (re-reading the pruned
-    parquet beats pinning the whole decode in the object store at scale)."""
+    parquet beats pinning the whole decode in the object store at scale).
+
+    The (tiny) result is cached per immutable input dir: chained queries
+    (flags -> summary -> merge -> fix_plan) pay for the pre-pass once."""
     slug2code = {s: i for i, s in enumerate(slugs)}
     path = read_path or os.path.join(data_dir, "docs")
+    ck = (path, tuple(slugs), n_buckets)
+    cached = _COLLISION_CACHE.get(ck)
+    if cached is not None:
+        return cached
     ds = rd.read_parquet(path, columns=["doc_id", "spans"],
                          override_num_blocks=read_blocks())
     parts = ds.map_batches(_collision_proj, batch_format="pyarrow",
@@ -426,11 +436,13 @@ def collision_keys(data_dir: str, slugs: list[str],
         _dup_in_bucket, batch_format="pyarrow").to_pandas()
     inv = {i: s_ for s_, i in slug2code.items()}
     kk = dups["key"].to_numpy() if len(dups) else np.array([], dtype=np.int64)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "map_slug": pd.Series([inv[c] for c in (kk >> 44)], dtype=object),
         "osm_id": kk & ((np.int64(1) << 44) - 1),
         "max_seq": (dups["max_seq"].to_numpy() if len(dups)
                     else np.array([], dtype=np.int64))})
+    _COLLISION_CACHE[ck] = out
+    return out
 
 
 def dedup_filter(batch: pa.Table, collisions_ref) -> pa.Table:
@@ -466,12 +478,37 @@ def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset
             .map_groups(drop_dups, batch_format="pandas"))
 
 
+_REFS_CACHE: dict = {}
+
+
+def _ray_session_key():
+    """Object refs die with the Ray session: key caches by job id so a
+    shutdown + re-init in the same process never serves dead refs."""
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return None
+
+
 def broadcast_refs(data_dir: str) -> dict:
+    """Broadcast lookup tables, cached per (immutable) input dir and Ray
+    session: chained queries over the same dir reuse one set of
+    object-store refs instead of re-reading + re-putting per pipeline.
+    Never cached while Ray is uninitialized (the session key would be
+    ambiguous and refs die with sessions)."""
+    sess = _ray_session_key() if ray.is_initialized() else None
+    key = (data_dir, sess)
+    if sess is not None:
+        cached = _REFS_CACHE.get(key)
+        if cached is not None:
+            return cached
     import pyarrow.parquet as pq
     refs = {}
     for name in ("wiki_ref", "wikidata_ref", "tiles", "countries"):
         df = pq.read_table(os.path.join(data_dir, f"{name}.parquet")).to_pandas()
-        refs[name] = ray.put(df)
+        refs[name] = ray.put(df)          # auto-inits Ray if needed
+    if sess is not None:
+        _REFS_CACHE[key] = refs
     return refs
 
 
