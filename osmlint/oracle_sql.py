@@ -468,6 +468,46 @@ FROM read_parquet({q(d + '/flat.parquet')})
 WHERE media_img IS NOT NULL ORDER BY doc_id"""
 
 
+def media_resize_sql(d: str, max_w: int = 256, max_h: int = 256) -> str:
+    """Aspect-preserving fit (integer arithmetic mirrors MediaResize)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(320 + (osm_id % 7) * 80 AS BIGINT) AS w,
+         CAST(240 + (osm_id % 5) * 60 AS BIGINT) AS h
+  FROM read_parquet({q(d + '/flat.parquet')})
+  WHERE media_img IS NOT NULL
+)
+SELECT doc_id, w AS width, h AS height,
+  CASE WHEN w <= {max_w} AND h <= {max_h} THEN w
+       WHEN {max_w} * h <= {max_h} * w THEN least({max_w}, w)
+       ELSE CAST(floor(w * {max_h} * 1.0 / h) AS BIGINT) END AS out_w,
+  CASE WHEN w <= {max_w} AND h <= {max_h} THEN h
+       WHEN {max_w} * h <= {max_h} * w THEN CAST(floor(h * {max_w} * 1.0 / w) AS BIGINT)
+       ELSE least({max_h}, h) END AS out_h,
+  (CASE WHEN w <= {max_w} AND h <= {max_h} THEN w
+       WHEN {max_w} * h <= {max_h} * w THEN least({max_w}, w)
+       ELSE CAST(floor(w * {max_h} * 1.0 / h) AS BIGINT) END
+   * CASE WHEN w <= {max_w} AND h <= {max_h} THEN h
+       WHEN {max_w} * h <= {max_h} * w THEN CAST(floor(h * {max_w} * 1.0 / w) AS BIGINT)
+       ELSE least({max_h}, h) END * 3) AS out_bytes
+FROM m ORDER BY doc_id"""
+
+
+def media_frame_sample_sql(d: str, every_s: int = 5) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id, CAST(5 + (osm_id % 30) AS BIGINT) AS duration_s
+  FROM read_parquet({q(d + '/flat.parquet')})
+  WHERE media_img IS NOT NULL
+)
+SELECT doc_id, duration_s,
+       CAST(u.i AS BIGINT) AS frame_idx,
+       CAST(u.i * {every_s} AS BIGINT) AS ts_s
+FROM m, unnest(range(0, duration_s // {every_s} + 1)) AS u(i)
+ORDER BY doc_id, frame_idx"""
+
+
 def knn_dup_names_sql(d: str, radius_km: float, max_name_freq: int) -> str:
     """Duplicate-name pairs: same name, both CTV, within radius, serbia map,
     excluding stop-names (global frequency > max_name_freq).

@@ -200,6 +200,16 @@ def media_features(sf_dir: str):
     return media.media_features(_synth(sf_dir))
 
 
+def media_resize(sf_dir: str):
+    from . import media
+    return media.media_resize(_synth(sf_dir))
+
+
+def media_frame_sample(sf_dir: str):
+    from . import media
+    return media.media_frame_sample(_synth(sf_dir))
+
+
 def raster_sample(sf_dir: str):
     from . import raster
     return raster.sample(_synth(sf_dir))
@@ -281,6 +291,8 @@ def ray_queries() -> dict:
         "events_sessionize": events_sessionize,
         "events_asof_attribution": events_asof_attribution,
         "media_features": media_features,
+        "media_resize": media_resize,
+        "media_frame_sample": media_frame_sample,
         "fix_plan": fix_plan,
         "raster_sample": raster_sample,
         "raster_zonal_stats": raster_zonal_stats,
@@ -321,6 +333,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,
         "media_features": oracle_sql.media_features_sql(d),
+        "media_resize": oracle_sql.media_resize_sql(d),
+        "media_frame_sample": oracle_sql.media_frame_sample_sql(d),
         "fix_plan": oracle_sql.fix_plan_sql(d),
         "raster_sample": oracle_sql.raster_sample_sql(d, CELL_RES),
         "raster_zonal_stats": oracle_sql.raster_zonal_stats_sql(d, CELL_RES),
