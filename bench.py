@@ -91,6 +91,11 @@ def _scaling_inner(num_cpus: int) -> dict:
     pipeline.flags_dataset(synth.generate(0.001), dedup=True).count()  # warmup
     best, rows = None, 0
     for _ in range(2):
+        # measure the FULL pipeline every trial: the per-input-dir caches
+        # (collision table, broadcast refs) would otherwise let trial 2
+        # skip the dedup pre-pass
+        pipeline._COLLISION_CACHE.clear()
+        pipeline._REFS_CACHE.clear()
         t0 = _t.time()
         rows = pipeline.flags_dataset(d, dedup=True).count()
         dt = _t.time() - t0
