@@ -156,6 +156,10 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
         g = g.drop_duplicates("doc_id", keep="last")
         return to_arrow(g, NAMED_SCHEMA)
 
+    # materializing here pins only the SMALL named-CTV projection (5 narrow
+    # columns of the city/town/village subset — a sliver of the input, not
+    # the doc stream) so the frequency pass and the pair pass don't re-run
+    # the decode+dedup lineage twice
     deduped = ds.repartition(shuffle_blocks()).groupby("_b").map_groups(
         dedup_group, batch_format="pandas").materialize()
 

@@ -112,9 +112,19 @@ def render_report(flags_ds, *, date=None) -> str:
 
 
 def write_report(data_dir: str, out_path: str) -> str:
-    # materialize once: the three aggregations below would otherwise each
-    # re-execute the whole lint pipeline through lineage
-    html = render_report(pipeline.flags_dataset(data_dir).materialize())
+    """Checkpoint the flags to parquet once (lineage checkpoint, not an
+    object-store materialize), then render the three aggregations from
+    cheap columnar re-reads."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    tmp = tempfile.mkdtemp(prefix="osmlint_flags_")
+    try:
+        pipeline.flags_dataset(data_dir).write_parquet(tmp)
+        html = render_report(rd.read_parquet(tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     with open(out_path, "w") as f:
         f.write(html)
     return out_path

@@ -33,7 +33,7 @@ def main():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False)
     try:
-        from osmlint import lineage, pipeline, report
+        from osmlint import lineage, report
         manifest = lineage.run_resumable(args.data, args.out)
         print(json.dumps({"partitions": len(manifest),
                           "flags": sum(v["flags"] for v in manifest.values()),
@@ -41,9 +41,14 @@ def main():
                           "wall_s": round(sum(v["wall_s"]
                                               for v in manifest.values()), 2)}))
         if args.report:
+            import ray.data as rd
             p = os.path.join(args.out, "report.html")
-            html = report.render_report(
-                pipeline.flags_dataset(args.data).materialize())
+            # render from the partitioned flags run_resumable just wrote —
+            # a cheap columnar re-read per aggregation, no pipeline re-run
+            # and no object-store materialize
+            parts = [os.path.join(args.out, d) for d in os.listdir(args.out)
+                     if d.startswith("part=")]
+            html = report.render_report(rd.read_parquet(parts))
             with open(p, "w") as f:
                 f.write(html)
             print(json.dumps({"report": p}))
