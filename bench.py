@@ -10,10 +10,11 @@ num_cpus=N and num_cpus=4N on the same input (the sandbox stand-in for the
 north_rule's N vs 4N node clusters; see BASELINE.md) and report both
 throughputs plus scaling efficiency = thr_4N / (4 * thr_N).
 
-N defaults to 2 (vs 8): on this single node, memory bandwidth saturates
-around 8-16 workers, so 8-vs-32 measures the RAM subsystem, not the
-engine's scalability — on a real 4x-node cluster bandwidth scales with
-nodes.  BASELINE.md records both pairs.  The scaling input is the sf1
+N defaults to 2 (vs 8): this single node has a measured memory-bandwidth
+wall (total throughput flat from ~8 workers up), so larger pairs measure
+the RAM subsystem, not the engine — on a real 4x-node cluster each node
+brings its own bandwidth.  BASELINE.md records the whole per-core curve
+and several pairs.  The scaling input is the sf1
 synthetic table (~4M docs) so fixed session costs amortize; each measured
 process warms up on sf0.001 first and reports the best of 2 trials.
 """
@@ -95,6 +96,7 @@ def _scaling_inner(num_cpus: int) -> dict:
         # (collision table, broadcast refs) would otherwise let trial 2
         # skip the dedup pre-pass
         pipeline._COLLISION_CACHE.clear()
+        pipeline._COLLISION_REF_CACHE.clear()
         pipeline._REFS_CACHE.clear()
         t0 = _t.time()
         rows = pipeline.flags_dataset(d, dedup=True).count()
@@ -142,7 +144,8 @@ def main():
             per_round.append(
                 round(rr[n4]["docs_per_s"] / (4.0 * rr[n]["docs_per_s"]), 3))
             for cpus in (n, n4):
-                if cpus not in res or rr[cpus]["docs_per_s"] >                         res[cpus]["docs_per_s"]:
+                if (cpus not in res
+                        or rr[cpus]["docs_per_s"] > res[cpus]["docs_per_s"]):
                     res[cpus] = rr[cpus]
         effs = sorted(per_round)
         median = effs[len(effs) // 2] if len(effs) % 2 else round(

@@ -33,9 +33,9 @@ from . import checks as checks_mod
 from . import config as config_mod
 from . import translit
 from .geo import haversine_km
-from .pipeline import (PipAssign, _resolve, broadcast_refs, collision_keys,
-                       decode_and_index, dedup_filter, doc_partitions,
-                       read_documents, to_arrow)
+from .pipeline import (PipAssign, _resolve, broadcast_refs,
+                       collision_keys_ref, decode_and_index, dedup_filter,
+                       doc_partitions, read_documents, to_arrow)
 
 FIXES_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("map_name", pa.string()),
@@ -327,7 +327,7 @@ def fix_plan_dataset(data_dir: str) -> rd.Dataset:
     links_ref = ray.put(links)
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
-    coll_ref = ray.put(collision_keys(data_dir, doc_partitions(data_dir)))
+    coll_ref = collision_keys_ref(data_dir, doc_partitions(data_dir))
     ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
                         fn_kwargs={"collisions_ref": coll_ref})
     from .pipeline import pip_assign_batch

@@ -63,8 +63,7 @@ def flags_for_partition(data_dir: str, slug: str):
     path = os.path.join(data_dir, "docs", f"map={slug}")
     ds = rd.read_parquet(path, columns=["doc_id", "spans"])
     ds = ds.map_batches(pipeline.decode_and_index, batch_format="pyarrow")
-    coll = pipeline.collision_keys(data_dir, [slug], read_path=path)
-    coll_ref = ray.put(coll)
+    coll_ref = pipeline.collision_keys_ref(data_dir, [slug], read_path=path)
     ds = ds.map_batches(pipeline.dedup_filter, batch_format="pyarrow",
                         fn_kwargs={"collisions_ref": coll_ref})
     ds = ds.map_batches(pipeline.pip_assign_batch, batch_format="pyarrow",

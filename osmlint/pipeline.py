@@ -445,6 +445,34 @@ def collision_keys(data_dir: str, slugs: list[str],
     return out
 
 
+_COLLISION_REF_CACHE: dict = {}
+
+
+def collision_keys_ref(data_dir: str, slugs: list[str],
+                       *, read_path: str | None = None,
+                       n_buckets: int = N_BUCKETS):
+    """Broadcast ObjectRef of the collision table, cached per (path, slugs,
+    session).  The pre-pass runs SYNCHRONOUSLY on the driver before the
+    main pass: an overlapped variant (zero-CPU task + per-batch ray.get)
+    was measured 30% slower at 32 CPUs (executor contention) and let the
+    nested execution ride the blocked-task CPU release at small
+    num_cpus — the sequential two-pass shape is both faster at real
+    parallelism and honest under resource accounting."""
+    key = (read_path or os.path.join(data_dir, "docs"), tuple(slugs),
+           n_buckets, _ray_session_key() if ray.is_initialized() else None)
+    if key[-1] is not None:
+        ref = _COLLISION_REF_CACHE.get(key)
+        if ref is not None:
+            return ref
+    ref = ray.put(collision_keys(data_dir, slugs, read_path=read_path,
+                                 n_buckets=n_buckets))
+    key = (key[0], key[1], key[2],
+           _ray_session_key() if ray.is_initialized() else None)
+    if key[-1] is not None:
+        _COLLISION_REF_CACHE[key] = ref
+    return ref
+
+
 def dedup_filter(batch: pa.Table, collisions_ref) -> pa.Table:
     """Streaming last-wins dedup: drop decoded doc rows superseded by a
     higher-seq doc with the same (map_slug, osm_id).  The collision table is
@@ -532,7 +560,7 @@ def flags_dataset(data_dir: str, *, with_pip: bool = True, dedup: bool = True,
     ds = read_documents(data_dir)
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
     if dedup:
-        coll_ref = ray.put(collision_keys(data_dir, doc_partitions(data_dir)))
+        coll_ref = collision_keys_ref(data_dir, doc_partitions(data_dir))
         ds = ds.map_batches(dedup_filter, batch_format="pyarrow",
                             fn_kwargs={"collisions_ref": coll_ref})
     if with_pip:
