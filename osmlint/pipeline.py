@@ -424,8 +424,13 @@ def collision_keys(data_dir: str, slugs: list[str],
     cached = _COLLISION_CACHE.get(ck)
     if cached is not None:
         return cached
+    # ~1 block/CPU here, NOT the main pass's 4/CPU: the projection emits
+    # 100KB partial blocks, and the downstream sort over many tiny blocks
+    # is pure task overhead (measured 9.2s pre-pass vs 2.3s main pass at
+    # 32 CPUs with 128 blocks; ~3s total at 32 blocks)
     ds = rd.read_parquet(path, columns=["doc_id", "spans"],
-                         override_num_blocks=read_blocks())
+                         override_num_blocks=min(read_blocks(),
+                                                 max(16, read_blocks() // 4)))
     parts = ds.map_batches(_collision_proj, batch_format="pyarrow",
                            fn_kwargs={"slug2code": slug2code,
                                       "n_buckets": n_buckets})
