@@ -8,3 +8,5 @@ sessions are owned by bench.py / tests / the driver.
 """
 
 __version__ = "0.1.0"
+
+from .caches import clear_caches  # noqa: E402  (public cache reset)

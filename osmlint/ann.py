@@ -23,6 +23,13 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .metrics import split_cap_sentinels
+
+
+def _split_cap_sentinels(cand: rd.Dataset, query: str,
+                         id_col: str) -> rd.Dataset:
+    return split_cap_sentinels(cand, LAST_METRICS, query, id_col)
+
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -44,13 +51,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+def _query_vectors(sf_dir: str, n_queries: int) -> pa.Table:
+    """Row-group-pruned fetch of the query vectors: the parquet filter
+    pushes down to row groups, so the driver reads O(n_queries) rows —
+    never the full embeddings table."""
+    import pyarrow.parquet as pq
+    return pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", n_queries)])
+
+
 def topk_neighbors(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     """Exact top-k cosine neighbors of the first ``n_queries`` vectors."""
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    q_tbl = tbl.filter(pa.compute.less(tbl["vec_id"], n_queries))
-    q_ids, q_mat = _batch_matrix(q_tbl)
+    q_ids, q_mat = _batch_matrix(_query_vectors(sf_dir, n_queries))
     q_ref = ray.put((q_ids, _normalize(q_mat)))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -80,12 +93,25 @@ def topk_neighbors(sf_dir: str, k: int = 5, n_queries: int = 4) -> pd.DataFrame:
     return out
 
 
+MAX_EXACT_PAIR_ROWS = 200_000   # hard guard on the O(N^2) exact baseline
+
+
 def cosine_pairs(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     """Exact near-duplicate pairs: cosine ≥ τ, vec_a < vec_b (brute
-    baseline; full normalized matrix broadcast once, batch×all matmul)."""
+    baseline; full normalized matrix broadcast once, batch×all matmul).
+
+    This is the O(N^2) ORACLE ANCHOR, not a scale path: it refuses inputs
+    above ``MAX_EXACT_PAIR_ROWS`` so it cannot be pointed at a 100 TB table
+    by accident — use ``cosine_pairs_lsh`` there."""
     import pyarrow.parquet as pq
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > MAX_EXACT_PAIR_ROWS:
+        raise ValueError(
+            f"cosine_pairs is the exact O(N^2) baseline and refuses inputs "
+            f"over {MAX_EXACT_PAIR_ROWS} rows (got {n_rows}); use "
+            f"cosine_pairs_lsh for the bucketed scale path")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
     all_ids, all_mat = _batch_matrix(tbl)
     ref = ray.put((all_ids, _normalize(all_mat)))
 
@@ -108,10 +134,22 @@ def cosine_pairs(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
 
 
 N_TABLES = 8
-N_BITS = 8          # raise with log2(n) at scale so buckets stay bounded
+N_BITS = 8          # floor; _n_bits_for raises it with log2(n) at scale
 LSH_SEED = 77
 _PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
-MAX_BUCKET = 4096   # skip-and-log guard against degenerate buckets
+MAX_BUCKET = 4096   # skip guard against degenerate buckets (counted, logged)
+
+#: per-query metrics of the last call (the "no silent caps" surface):
+#: skipped_buckets / skipped_docs record what the MAX_BUCKET guard dropped.
+LAST_METRICS: dict[str, dict] = {}
+
+
+def _n_bits_for(n_rows: int) -> int:
+    """Signature width scales with log2(n) so the EXPECTED bucket size
+    (n / 2**bits) stays ~1024 — well under MAX_BUCKET — and a uniformly
+    loaded table can never silently trip the skip guard."""
+    import math
+    return max(N_BITS, math.ceil(math.log2(max(n_rows, 2) / 1024.0)))
 
 
 def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
@@ -120,18 +158,28 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
 
     Shuffle shape (the 100 TB story): the signature pass emits ONLY
     ``(table, sig, vec_id)`` — 24-byte rows, never the vector payload — with
-    multiprobe (each of the N_BITS single-bit flips is also emitted, both
+    multiprobe (each of the n_bits single-bit flips is also emitted, both
     sides, so any pair within Hamming distance 2 in some table collides:
     per-table hit P(d<=2), recall ~0.994 at tau=0.5 / 8 bits x 8 tables).
     Buckets yield candidate id pairs, deduped by a distributed groupby, and
     the exact-cosine verify joins the embeddings back per side with Ray
     Data's hash join — candidate volume, not input volume, drives the
     verify cost.  Hyperplanes are freshly seeded per call (deterministic
-    across calls and retries)."""
+    across calls and retries).
+
+    Skew safety: ``n_bits`` grows with log2(n_rows) (parquet metadata —
+    no data read) so uniform load can't exceed MAX_BUCKET; buckets that
+    still do (pathological skew) are SKIPPED and surfaced — count and
+    dropped-doc total land in ``LAST_METRICS['cosine_pairs_lsh']`` and a
+    warning is logged.  Recall collapse can't be silent."""
+    import pyarrow.parquet as pq
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    n_bits = _n_bits_for(n_rows)
     planes = np.random.default_rng(LSH_SEED).standard_normal(
-        (N_TABLES, N_BITS, dim))
+        (N_TABLES, n_bits, dim))
     planes_ref = ray.put(planes)
-    bit_flips = (np.uint64(1) << np.arange(N_BITS, dtype=np.uint64))
+    bit_flips = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
 
     def sign_batch(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
@@ -140,15 +188,15 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
         n = len(ids)
         out_t, out_sig, out_id = [], [], []
         for t in range(N_TABLES):
-            bits = (mn @ pl[t].T) > 0                          # (n, N_BITS)
+            bits = (mn @ pl[t].T) > 0                          # (n, n_bits)
             sig = (bits.astype(np.uint64)
-                   << np.arange(N_BITS, dtype=np.uint64)).sum(axis=1)
+                   << np.arange(n_bits, dtype=np.uint64)).sum(axis=1)
             # exact sig + every 1-bit flip (multiprobe, both sides => d<=2)
             probes = np.concatenate([sig[:, None], sig[:, None] ^ bit_flips],
                                     axis=1)                    # (n, 1+bits)
-            out_t.append(np.full(n * (N_BITS + 1), t, dtype=np.int64))
+            out_t.append(np.full(n * (n_bits + 1), t, dtype=np.int64))
             out_sig.append(probes.reshape(-1).astype(np.int64))
-            out_id.append(np.repeat(ids, N_BITS + 1))
+            out_id.append(np.repeat(ids, n_bits + 1))
         return pa.table({
             "table": pa.array(np.concatenate(out_t)),
             "sig": pa.array(np.concatenate(out_sig)),
@@ -156,8 +204,19 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.unique(g["vec_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > MAX_BUCKET:
+        if len(ids) < 2:
             return _PAIR_SCHEMA.empty_table()
+        if len(ids) > MAX_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "cosine_pairs_lsh: skipping hot bucket with %d docs (> %d)",
+                len(ids), MAX_BUCKET)
+            # sentinel row: vec_a = -(bucket size), vec_b = unique bucket key
+            key = (int(g["sig"].iat[0]) * 0x9E3779B97F4A7C15
+                   + int(g["table"].iat[0])) & ((1 << 64) - 1)
+            key = key - (1 << 64) if key >= (1 << 63) else key
+            return pa.table({"vec_a": pa.array([-len(ids)], type=pa.int64()),
+                             "vec_b": pa.array([key], type=pa.int64())})
         i, j = np.triu_indices(len(ids), k=1)
         return pa.table({"vec_a": pa.array(ids[i], type=pa.int64()),
                          "vec_b": pa.array(ids[j], type=pa.int64())})
@@ -172,6 +231,7 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
     from ray.data.aggregate import Count
     cand = cand.groupby(["vec_a", "vec_b"]) \
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    cand = _split_cap_sentinels(cand, "cosine_pairs_lsh", "vec_a")
 
     def pack(batch: pa.Table) -> pa.Table:
         # acero (the join kernel) rejects list<float> non-key payloads:
@@ -253,18 +313,11 @@ def topk_neighbors_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
     ``limit(IVF_SAMPLE)`` slice of the streamed Dataset (only the needed
     blocks are pulled) and the query vectors come from a row-group-pruned
     parquet read filtered to ``vec_id < n_queries``."""
-    import os
-
-    import pyarrow.parquet as pq
     sample_df = read_embeddings(sf_dir).limit(IVF_SAMPLE).to_pandas()
-    s_ids = sample_df["vec_id"].to_numpy().astype(np.int64)
     s_mat = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     sample = _normalize(s_mat)
     cent = _kmeans(sample, n_lists, IVF_ITERS)
-    q_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"],
-                          filters=[("vec_id", "<", n_queries)])
-    q_ids, q_raw = _batch_matrix(q_tbl)
+    q_ids, q_raw = _batch_matrix(_query_vectors(sf_dir, n_queries))
     order = np.argsort(q_ids)
     q_ids = q_ids[order]
     q_mat = _normalize(q_raw[order])
@@ -280,9 +333,12 @@ def topk_neighbors_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
         mn = _normalize(m)
         d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         lst = d.argmin(axis=1).astype(np.int64)
+        # zero-copy columnar list build — no per-row Python conversion
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(mn.reshape(-1), type=pa.float64()), mn.shape[1])
         return pa.table({"list": pa.array(lst),
                          "vec_id": pa.array(ids),
-                         "vec": pa.array(list(mn), type=pa.list_(pa.float64()))})
+                         "vec": vec})
 
     def search(g: pd.DataFrame) -> pa.Table:
         qi, qm, probes = ray.get(q_ref)

@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from . import caches
 from . import checks as checks_mod
 from . import config as config_mod
 from . import geo, schema, spans, synth
@@ -397,7 +398,7 @@ def _dup_in_bucket(t: pa.Table) -> pa.Table:
                      "max_seq": pa.array(mx[dup], type=pa.int64())})
 
 
-_COLLISION_CACHE: dict = {}
+_COLLISION_CACHE: dict = caches.register({})
 
 
 def collision_keys(data_dir: str, slugs: list[str],
@@ -420,7 +421,7 @@ def collision_keys(data_dir: str, slugs: list[str],
     (flags -> summary -> merge -> fix_plan) pay for the pre-pass once."""
     slug2code = {s: i for i, s in enumerate(slugs)}
     path = read_path or os.path.join(data_dir, "docs")
-    ck = (path, tuple(slugs), n_buckets)
+    ck = (path, caches.path_fingerprint(path), tuple(slugs), n_buckets)
     cached = _COLLISION_CACHE.get(ck)
     if cached is not None:
         return cached
@@ -450,7 +451,7 @@ def collision_keys(data_dir: str, slugs: list[str],
     return out
 
 
-_COLLISION_REF_CACHE: dict = {}
+_COLLISION_REF_CACHE: dict = caches.register({})
 
 
 def collision_keys_ref(data_dir: str, slugs: list[str],
@@ -463,7 +464,8 @@ def collision_keys_ref(data_dir: str, slugs: list[str],
     nested execution ride the blocked-task CPU release at small
     num_cpus — the sequential two-pass shape is both faster at real
     parallelism and honest under resource accounting."""
-    key = (read_path or os.path.join(data_dir, "docs"), tuple(slugs),
+    path = read_path or os.path.join(data_dir, "docs")
+    key = (path, caches.path_fingerprint(path), tuple(slugs),
            n_buckets, _ray_session_key() if ray.is_initialized() else None)
     if key[-1] is not None:
         ref = _COLLISION_REF_CACHE.get(key)
@@ -471,8 +473,7 @@ def collision_keys_ref(data_dir: str, slugs: list[str],
             return ref
     ref = ray.put(collision_keys(data_dir, slugs, read_path=read_path,
                                  n_buckets=n_buckets))
-    key = (key[0], key[1], key[2],
-           _ray_session_key() if ray.is_initialized() else None)
+    key = key[:-1] + (_ray_session_key() if ray.is_initialized() else None,)
     if key[-1] is not None:
         _COLLISION_REF_CACHE[key] = ref
     return ref
@@ -511,7 +512,7 @@ def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset
             .map_groups(drop_dups, batch_format="pandas"))
 
 
-_REFS_CACHE: dict = {}
+_REFS_CACHE: dict = caches.register({})
 
 
 def _ray_session_key():
@@ -530,7 +531,7 @@ def broadcast_refs(data_dir: str) -> dict:
     Never cached while Ray is uninitialized (the session key would be
     ambiguous and refs die with sessions)."""
     sess = _ray_session_key() if ray.is_initialized() else None
-    key = (data_dir, sess)
+    key = (data_dir, caches.path_fingerprint(data_dir), sess)
     if sess is not None:
         cached = _REFS_CACHE.get(key)
         if cached is not None:
@@ -630,17 +631,27 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
 
 
 def per_check_type(flags: rd.Dataset) -> pd.DataFrame:
-    """A2 (src/main.py:79-92): per check FQN, total results + non-OK count."""
+    """A2 (src/main.py:79-92): per check FQN, total results + non-OK count.
+
+    Per-batch vectorized partials (~#checks rows each) reduce through ONE
+    distributed ``groupby(check_name)`` Sum level, so the driver pulls
+    O(#checks) rows — never O(#batches x #checks) (at 100 TB, millions of
+    blocks would otherwise land a millions-row frame on the driver)."""
     def partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("check_name", sort=False)
-        out = g.agg(n=("check_name", "size"),
-                    n_err=("result", lambda s: int((s != "CHECKED_OK").sum())))
-        return to_arrow(out.reset_index())
-    # partials are ~#checks rows per batch — combine on the driver
-    p = flags.map_batches(partial, batch_format="pandas").to_pandas()
-    df = p.groupby("check_name", as_index=False).agg(
-        count_total_checks=("n", "sum"), count_total_errors=("n_err", "sum"))
-    df = df.sort_values("check_name").reset_index(drop=True)
+        out = (pd.DataFrame({
+            "check_name": df["check_name"],
+            "n": np.int64(1),
+            "n_err": (df["result"] != "CHECKED_OK").astype(np.int64)})
+            .groupby("check_name", sort=False, as_index=False).sum())
+        return to_arrow(out)
+
+    from ray.data.aggregate import Sum as _Sum
+    p = (flags.map_batches(partial, batch_format="pandas")
+         .groupby("check_name")
+         .aggregate(_Sum("n", alias_name="count_total_checks"),
+                    _Sum("n_err", alias_name="count_total_errors"))
+         .to_pandas())
+    df = p.sort_values("check_name").reset_index(drop=True)
     df["explanation"] = df["check_name"].map(
         lambda f: checks_mod.CHECKS[f].explanation)
     for c in ("count_total_checks", "count_total_errors"):

@@ -34,7 +34,13 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from . import caches
+from .metrics import split_cap_sentinels
 from .pipeline import to_arrow
+
+#: per-query metrics of the last call (the "no silent caps" surface):
+#: skipped_buckets / skipped_docs record what the skew caps dropped.
+LAST_METRICS: dict[str, dict] = {}
 
 STOPWORD_RE = r"\b(the|and|with|for|an|of|in|to|is|on|a)\b"
 PUNCT_RE = r"[.,;:!?]"
@@ -177,13 +183,12 @@ def _doc_shingles(texts: pd.Series, n: int = NGRAM_N):
     return h, offsets
 
 
-def shingle_batch(batch: pa.Table) -> pa.Table:
-    """doc -> shingle hash set + minhash signature + simhash, batched:
-    ONE (total_shingles x 64) universal-hash matrix + segment reduces
-    (``minimum.reduceat`` / ``add.reduceat``) — no per-doc Python numpy."""
-    df = batch.to_pandas()
-    n = len(df)
-    h, offsets = _doc_shingles(df["text"].fillna(""))
+def _shingle_core(texts: pd.Series):
+    """texts -> (flat unique shingle hashes, row offsets, minhash matrix,
+    simhash vector): ONE (total_shingles x 64) universal-hash matrix +
+    segment reduces (``minimum.reduceat`` / ``add.reduceat``) — no per-doc
+    Python numpy."""
+    h, offsets = _doc_shingles(texts)
     starts = offsets[:-1]
     vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % MERSENNE
     sigs = np.minimum.reduceat(vals, starts, axis=0) if len(h) else \
@@ -195,6 +200,15 @@ def shingle_batch(batch: pa.Table) -> pa.Table:
     sim = ((votes > 0).astype(np.uint64)
            << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum(axis=1) \
         .astype(np.int64)
+    return h, offsets, sigs, sim
+
+
+def shingle_batch(batch: pa.Table) -> pa.Table:
+    """doc -> shingle hash set + minhash signature + simhash (list columns;
+    ``shingle_pack_batch`` is the binary-packed checkpoint flavor)."""
+    df = batch.to_pandas()
+    n = len(df)
+    h, offsets, sigs, sim = _shingle_core(df["text"].fillna(""))
     sh_list = pa.ListArray.from_arrays(
         pa.array(offsets.astype(np.int32)),
         pa.array(h.astype(np.int64), type=pa.int64()))
@@ -209,53 +223,145 @@ def shingle_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _pack_binary_i64(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """int64 row segments -> one Arrow binary column, built straight from
+    buffers (no per-row ``tobytes`` loop)."""
+    byte_off = (offsets.astype(np.int64) * 8).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(offsets) - 1,
+        [None, pa.py_buffer(byte_off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat, dtype=np.int64).tobytes())])
+
+
+def _unpack_binary_i64(tbl: pa.Table, col: str):
+    """binary column of int64-packed blobs -> (flat int64 values, row
+    offsets) — reads the Arrow buffers directly, no per-row frombuffer."""
+    arr = tbl[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    o = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    v = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = np.ascontiguousarray(v[o[0]:o[-1]]).view(np.int64)
+    return flat, (o - o[0]) // 8
+
+
+def shingle_pack_batch(batch: pa.Table) -> pa.Table:
+    """Checkpoint flavor: doc -> (sh, mh) as int64-packed binary blobs +
+    simhash.  Binary (not list) because the downstream verify joins go
+    through acero, which rejects list payload columns."""
+    df = batch.to_pandas()
+    n = len(df)
+    h, offsets, sigs, sim = _shingle_core(df["text"].fillna(""))
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "sh": _pack_binary_i64(h.astype(np.int64), offsets),
+        "mh": _pack_binary_i64(sigs.reshape(-1).astype(np.int64),
+                               np.arange(0, (n + 1) * N_PERM, N_PERM)),
+        "simhash": pa.array(sim, type=pa.int64()),
+    })
+
+
+_SHINGLE_CKPT: dict = caches.register({})
+
+
+def shingle_checkpoint(sf_dir: str) -> str:
+    """ONE shingle pass per corpus, checkpointed to parquet and shared by
+    every dedup-family query (minhash bands, ngram postings, simhash
+    blocks, the packed verify-join sides) — the corpus text is read and
+    shingled exactly once per input fingerprint (VERDICT r2 #3).
+
+    The checkpoint doubles as the resume point: a re-run over the same
+    (fingerprinted) input skips straight to candidate generation.  Root
+    dir comes from ``$OSMLINT_CKPT_DIR``; the local-tmp default is the
+    single-node mode — on a multi-node cluster point it at a shared
+    filesystem / object-store URI so every worker sees all blocks."""
+    import hashlib as _hl
+    import tempfile
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (path, caches.path_fingerprint(path))
+    hit = _SHINGLE_CKPT.get(key)
+    if hit and os.path.exists(os.path.join(hit, "_SUCCESS")):
+        return hit
+    root = os.environ.get(
+        "OSMLINT_CKPT_DIR",
+        os.path.join(tempfile.gettempdir(), "osmlint_ckpt"))
+    out = os.path.join(root,
+                       "shingles_" + _hl.md5(repr(key).encode()).hexdigest())
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        read_docs(sf_dir).map_batches(
+            shingle_pack_batch, batch_format="pyarrow").write_parquet(out)
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+    _SHINGLE_CKPT[key] = out
+    return out
+
+
+def read_shingles(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(shingle_checkpoint(sf_dir), columns=columns)
+
+
 def simhash_docs(sf_dir: str) -> rd.Dataset:
-    """doc_id -> 64-bit SimHash (rows-only check: hash seeds aren't SQL)."""
-    return read_docs(sf_dir).map_batches(shingle_batch, batch_format="pyarrow") \
-        .map_batches(lambda b: b.select(["doc_id", "simhash"]),
-                     batch_format="pyarrow")
+    """doc_id -> 64-bit SimHash over the doc's unique word-3-gram blake2b
+    hashes (majority vote per bit).  Oracle: an INDEPENDENT per-doc
+    reference implementation persisted at oracle-generation time
+    (``oracle_sql.simhash_reference_table``) — checks the distributed
+    batched kernel reproduces the definition exactly."""
+    return read_shingles(sf_dir, ["doc_id", "simhash"])
 
 
 def band_explode(batch: pa.Table) -> pa.Table:
-    """signature -> (band, bucket, doc_id) keys; ~N_BANDS 24-byte rows per
-    doc — the shingle payload does NOT ride the shuffle."""
-    df = batch.to_pandas()
-    n = len(df)
-    sigs = np.stack(df["minhash"].to_numpy()) if n else \
-        np.empty((0, N_PERM), dtype=np.int64)
+    """packed signature -> (band, bucket, doc_id) keys; ~N_BANDS 24-byte
+    rows per doc — the shingle payload does NOT ride the shuffle."""
+    mh, _ = _unpack_binary_i64(batch, "mh")
+    n = batch.num_rows
+    sigs = mh.reshape(n, N_PERM)
     rows_per = N_PERM // N_BANDS
     bands = sigs.reshape(n, N_BANDS, rows_per).astype(np.uint64)
     bucket = bands[:, :, 0]
     for r in range(1, rows_per):
         bucket = bucket * _PRIME + bands[:, :, r]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
         "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int64), n)),
         "bucket": pa.array(bucket.reshape(-1).astype(np.int64)),
-        "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(np.int64), N_BANDS)),
+        "doc_id": pa.array(np.repeat(ids, N_BANDS)),
     })
+
+
+def _skip_sentinel(n_ids: int, group_key: int,
+                   what: str, schema: pa.Schema) -> pa.Table:
+    """Hot-bucket skip: warn AND emit a counted sentinel row
+    (doc_a = -size, doc_b = unique bucket key) so the cap is never silent
+    (metrics land in LAST_METRICS via ``split_cap_sentinels``)."""
+    import logging
+    logging.getLogger(__name__).warning(
+        "skipping hot %s with %d docs (> %d)", what, n_ids, MAX_POSTING)
+    cols = {"doc_a": pa.array([-n_ids], type=pa.int64()),
+            "doc_b": pa.array([np.int64(group_key)], type=pa.int64())}
+    for f in schema:
+        if f.name not in cols:
+            cols[f.name] = pa.array([0], type=f.type)
+    return pa.table({f.name: cols[f.name] for f in schema})
+
+
+def _mix_key(a: int, b: int) -> int:
+    """Unique-per-group int64 sentinel key from two group-key ints."""
+    k = (int(a) * 0x9E3779B97F4A7C15 + int(b)) & ((1 << 64) - 1)
+    return k - (1 << 64) if k >= (1 << 63) else k
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
     ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > MAX_POSTING:
-        if len(ids) > MAX_POSTING:
-            import logging
-            logging.getLogger(__name__).warning(
-                "skipping hot bucket with %d docs (> %d)", len(ids),
-                MAX_POSTING)
+    if len(ids) < 2:
         return _PAIR_SCHEMA.empty_table()
+    if len(ids) > MAX_POSTING:
+        key = _mix_key(g["bucket"].iat[0], g["band"].iat[0])
+        return _skip_sentinel(len(ids), key, "minhash bucket", _PAIR_SCHEMA)
     i, j = np.triu_indices(len(ids), k=1)
     return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
                      "doc_b": pa.array(ids[j], type=pa.int64())})
-
-
-def _pack_shingles(batch: pa.Table) -> pa.Table:
-    """(doc_id, shingles) -> (doc_id, sh:binary) — acero joins reject list
-    payloads, so the sorted unique hash set rides as an int64 blob."""
-    df = batch.to_pandas()
-    blobs = [np.asarray(s, dtype=np.int64).tobytes() for s in df["shingles"]]
-    return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
-                     "sh": pa.array(blobs, type=pa.binary())})
 
 
 def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
@@ -269,6 +375,9 @@ def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
                          left_suffix="_l", right_suffix="_r")
 
     def verify(batch: pa.Table) -> pa.Table:
+        # fully vectorized across EVERY pair in the batch: flatten both
+        # sides to offset-indexed arrays, lexsort (pair_idx, value), and
+        # count cross-side adjacent duplicates — no per-pair Python loop
         if batch.num_rows == 0:
             return _PAIRJ_SCHEMA.empty_table()
         cols = batch.column_names
@@ -276,13 +385,20 @@ def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
         cb = "sh_r" if "sh_r" in cols else "sh"
         a = batch["doc_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        sa = [np.frombuffer(x, dtype=np.int64) for x in batch[ca].to_pylist()]
-        sb = [np.frombuffer(x, dtype=np.int64) for x in batch[cb].to_pylist()]
-        jac = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
-            union = sa[i].size + sb[i].size - inter
-            jac[i] = inter / union if union else 0.0
+        fa, oa = _unpack_binary_i64(batch, ca)
+        fb, ob = _unpack_binary_i64(batch, cb)
+        la, lb = np.diff(oa), np.diff(ob)
+        idx = np.concatenate([np.repeat(np.arange(len(a)), la),
+                              np.repeat(np.arange(len(b)), lb)])
+        val = np.concatenate([fa, fb])
+        order = np.lexsort((val, idx))
+        v, i = val[order], idx[order]
+        # values are unique within each side, so an adjacent duplicate
+        # within one pair_idx is exactly one intersection hit
+        dup = (v[1:] == v[:-1]) & (i[1:] == i[:-1])
+        inter = np.bincount(i[1:][dup], minlength=len(a))
+        union = la + lb - inter
+        jac = inter / np.maximum(union, 1)
         keep = jac >= tau
         return pa.table({"doc_a": pa.array(a[keep], type=pa.int64()),
                          "doc_b": pa.array(b[keep], type=pa.int64()),
@@ -304,53 +420,54 @@ def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
 
 
 def minhash_dup_pairs(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
-    """MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
-    groupby (24-byte rows) → pair dedup → join-back exact-Jaccard verify."""
-    shingled = read_docs(sf_dir).map_batches(shingle_batch,
-                                             batch_format="pyarrow")
-    bands = shingled.map_batches(band_explode, batch_format="pyarrow")
+    """MinHash+LSH near-duplicate pairs: shingle checkpoint (ONE corpus
+    pass, shared) → band → bucket groupby (24-byte rows) → pair dedup →
+    join-back exact-Jaccard verify.  Hot-bucket skips are counted in
+    ``LAST_METRICS['dedup_minhash']``."""
+    bands = read_shingles(sf_dir, ["doc_id", "mh"]) \
+        .map_batches(band_explode, batch_format="pyarrow")
     cand = _dedup_pairs(bands.groupby(["band", "bucket"]).map_groups(
         _bucket_pairs, batch_format="pandas"))
-    packed = read_docs(sf_dir).map_batches(shingle_batch,
-                                           batch_format="pyarrow") \
-        .map_batches(_pack_shingles, batch_format="pyarrow")
+    cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_minhash", "doc_a")
+    packed = read_shingles(sf_dir, ["doc_id", "sh"])
     return _verify_jaccard(cand, packed, tau)
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
     """Exact n-gram Jaccard pairs via a shared-n-gram inverted index:
-    (ngram_hash, doc_id) postings → per-posting candidate pairs → dedup →
-    join-back exact verify.  EXACT recall for tau > 0 (a qualifying pair
-    shares at least one n-gram) up to the hot-posting cap, which is logged
-    when hit — unlike ``minhash_dup_pairs`` whose recall is band-limited."""
+    checkpointed shingle sets (ONE corpus pass, shared) → (ngram_hash,
+    doc_id) postings → per-posting candidate pairs → dedup → join-back
+    exact verify.  EXACT recall for tau > 0 (a qualifying pair shares at
+    least one n-gram) up to the hot-posting cap — skips are counted in
+    ``LAST_METRICS['dedup_ngram_jaccard']`` — unlike ``minhash_dup_pairs``
+    whose recall is band-limited."""
     def postings(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        h, offsets = _doc_shingles(df["text"].fillna(""))
-        seg = np.repeat(np.arange(len(df), dtype=np.int64),
+        h, offsets = _unpack_binary_i64(batch, "sh")
+        seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
                         np.diff(offsets))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "ngram": pa.array(h.astype(np.int64), type=pa.int64()),
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[seg])})
+            "ngram": pa.array(h, type=pa.int64()),
+            "doc_id": pa.array(ids[seg])})
 
     def posting_pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > MAX_POSTING:
-            if len(ids) > MAX_POSTING:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "skipping hot n-gram posting with %d docs (> %d)",
-                    len(ids), MAX_POSTING)
+        if len(ids) < 2:
             return _PAIR_SCHEMA.empty_table()
+        if len(ids) > MAX_POSTING:
+            return _skip_sentinel(len(ids), int(g["ngram"].iat[0]),
+                                  "n-gram posting", _PAIR_SCHEMA)
         i, j = np.triu_indices(len(ids), k=1)
         return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
                          "doc_b": pa.array(ids[j], type=pa.int64())})
 
-    posts = read_docs(sf_dir).map_batches(postings, batch_format="pyarrow")
+    posts = read_shingles(sf_dir, ["doc_id", "sh"]) \
+        .map_batches(postings, batch_format="pyarrow")
     cand = _dedup_pairs(posts.groupby("ngram").map_groups(
         posting_pairs, batch_format="pandas"))
-    packed = read_docs(sf_dir).map_batches(shingle_batch,
-                                           batch_format="pyarrow") \
-        .map_batches(_pack_shingles, batch_format="pyarrow")
+    cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_ngram_jaccard",
+                               "doc_a")
+    packed = read_shingles(sf_dir, ["doc_id", "sh"])
     return _verify_jaccard(cand, packed, tau)
 
 
@@ -393,12 +510,12 @@ def simhash_dup_pairs(sf_dir: str,
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates("doc_id")
-        if len(g) < 2 or len(g) > MAX_POSTING:
-            if len(g) > MAX_POSTING:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "skipping hot simhash bucket with %d docs", len(g))
+        if len(g) < 2:
             return _SIMPAIR_SCHEMA.empty_table()
+        if len(g) > MAX_POSTING:
+            key = _mix_key(g["key"].iat[0], g["block"].iat[0])
+            return _skip_sentinel(len(g), key, "simhash bucket",
+                                  _SIMPAIR_SCHEMA)
         order = np.argsort(g["doc_id"].to_numpy())
         ids = g["doc_id"].to_numpy()[order]
         sh = g["simhash"].to_numpy().astype(np.uint64)[order]
@@ -414,16 +531,18 @@ def simhash_dup_pairs(sf_dir: str,
                          "doc_b": pa.array(ids[j][keep], type=pa.int64()),
                          "hamming": pa.array(ham[keep], type=pa.int64())})
 
-    sims = read_docs(sf_dir).map_batches(shingle_batch,
-                                         batch_format="pyarrow") \
-        .map_batches(lambda b: b.select(["doc_id", "simhash"]),
-                     batch_format="pyarrow")
+    sims = read_shingles(sf_dir, ["doc_id", "simhash"])
     cand = sims.map_batches(explode, batch_format="pyarrow") \
         .groupby(["block", "key"]).map_groups(bucket_pairs,
                                               batch_format="pandas")
     from ray.data.aggregate import Min
     df = cand.groupby(["doc_a", "doc_b"]) \
         .aggregate(Min("hamming", alias_name="hamming")).to_pandas()
+    sent = df[df["doc_a"] < 0] if len(df) else df
+    LAST_METRICS["dedup_simhash"] = {
+        "skipped_buckets": int(len(sent)),
+        "skipped_docs": int((-sent["doc_a"]).sum()) if len(sent) else 0}
+    df = df[df["doc_a"] >= 0] if len(df) else df
     if df.empty:
         df = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                            "doc_b": pd.Series(dtype=np.int64),
