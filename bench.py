@@ -91,13 +91,14 @@ def _scaling_inner(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     pipeline.flags_dataset(synth.generate(0.001), dedup=True).count()  # warmup
     best, rows = None, 0
+    import osmlint
     for _ in range(2):
-        # measure the FULL pipeline every trial: the per-input-dir caches
-        # (collision table, broadcast refs) would otherwise let trial 2
-        # skip the dedup pre-pass
-        pipeline._COLLISION_CACHE.clear()
-        pipeline._COLLISION_REF_CACHE.clear()
-        pipeline._REFS_CACHE.clear()
+        # measure the FULL pipeline every trial: the registered caches
+        # (collision table, broadcast refs, raster band, shingle ckpt)
+        # would otherwise let trial 2 skip the dedup pre-pass.  One public
+        # clear — tests/test_properties.py asserts every module cache is
+        # registered, so a future cache can't quietly inflate efficiency.
+        osmlint.clear_caches()
         t0 = _t.time()
         rows = pipeline.flags_dataset(d, dedup=True).count()
         dt = _t.time() - t0
@@ -159,8 +160,11 @@ def main():
             f"docs_per_s_{n4}": res[n4]["docs_per_s"],
             f"sec_{n}": res[n]["sec"], f"sec_{n4}": res[n4]["sec"],
             "per_round_efficiency": per_round,
-            "scaling_efficiency": max(per_round),
-            "scaling_efficiency_median": median,
+            # headline key is the MEDIAN paired round (max-of-N would be
+            # upward-biased under the documented co-tenant noise);
+            # the best round is exposed under an explicit name
+            "scaling_efficiency": median,
+            "scaling_efficiency_best_round": max(per_round),
         }))
         return
 

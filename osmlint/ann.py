@@ -10,7 +10,10 @@
   exact baseline the SQL oracle checks.
 * ``cosine_pairs_lsh`` — the scale path: random-hyperplane signatures,
   groupby (table, signature) buckets, exact verify inside buckets.
-  Approximate recall — rows-only check.
+  Multiprobe recall is probabilistic in general but deterministic for
+  fixed input + seeds; it is oracle-checked against the exact SQL, with
+  an in-repo gate test asserting exact-set equality on the driver tables
+  so drift is caught before a driver run (ADVICE r2 #2).
 """
 
 from __future__ import annotations
@@ -28,7 +31,8 @@ from .metrics import split_cap_sentinels
 
 def _split_cap_sentinels(cand: rd.Dataset, query: str,
                          id_col: str) -> rd.Dataset:
-    return split_cap_sentinels(cand, LAST_METRICS, query, id_col)
+    return split_cap_sentinels(cand, LAST_METRICS, query, id_col,
+                               _PAIR_SCHEMA)
 
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
@@ -153,7 +157,8 @@ def _n_bits_for(n_rows: int) -> int:
 
 
 def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
-                     num_partitions: int = 4) -> pd.DataFrame:
+                     num_partitions: int = 4,
+                     max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
     """Scale path for near-duplicate pair mining: random-hyperplane LSH.
 
     Shuffle shape (the 100 TB story): the signature pass emits ONLY
@@ -206,11 +211,11 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
         ids = np.unique(g["vec_id"].to_numpy())
         if len(ids) < 2:
             return _PAIR_SCHEMA.empty_table()
-        if len(ids) > MAX_BUCKET:
+        if len(ids) > max_bucket:
             import logging
             logging.getLogger(__name__).warning(
                 "cosine_pairs_lsh: skipping hot bucket with %d docs (> %d)",
-                len(ids), MAX_BUCKET)
+                len(ids), max_bucket)
             # sentinel row: vec_a = -(bucket size), vec_b = unique bucket key
             key = (int(g["sig"].iat[0]) * 0x9E3779B97F4A7C15
                    + int(g["table"].iat[0])) & ((1 << 64) - 1)
@@ -232,6 +237,14 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
     cand = cand.groupby(["vec_a", "vec_b"]) \
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     cand = _split_cap_sentinels(cand, "cosine_pairs_lsh", "vec_a")
+    # Ray's join aggregator crashes on a partition with NO left rows:
+    # bail on empty candidates and scale partition count with candidate
+    # volume (cand is materialized, count() is free)
+    n_cand = cand.count()
+    if n_cand == 0:
+        return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                             "vec_b": pd.Series(dtype=np.int64)})
+    num_partitions = max(1, min(num_partitions, n_cand // 256))
 
     def pack(batch: pa.Table) -> pa.Table:
         # acero (the join kernel) rejects list<float> non-key payloads:

@@ -20,17 +20,25 @@ import ray.data as rd
 
 
 def split_cap_sentinels(cand: rd.Dataset, metrics: dict, query: str,
-                        id_col: str) -> rd.Dataset:
+                        id_col: str, schema: pa.Schema) -> rd.Dataset:
     """Strip sentinel rows (``id_col < 0``) from the deduped candidate set,
     record ``{skipped_buckets, skipped_docs}`` under ``metrics[query]``,
-    and return the real candidate pairs."""
+    and return the real candidate pairs.  Blocks are normalized to
+    ``schema`` — empty aggregate partitions emit zero-column blocks that
+    would otherwise break the downstream acero join."""
     cand = cand.materialize()
 
     def neg(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b[id_col], 0))
+        if id_col not in b.column_names:
+            return schema.empty_table()
+        return b.filter(pc.less(b[id_col], 0)).select(schema.names) \
+            .cast(schema)
 
     def pos(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b[id_col], 0))
+        if id_col not in b.column_names:
+            return schema.empty_table()
+        return b.filter(pc.greater_equal(b[id_col], 0)) \
+            .select(schema.names).cast(schema)
 
     sent = cand.map_batches(neg, batch_format="pyarrow").to_pandas()
     metrics[query] = {

@@ -887,3 +887,73 @@ SELECT vec_id,
        CAST(scale AS DOUBLE) AS scale
 FROM e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
 ORDER BY vec_id, dim_idx"""
+
+
+# ---------------------------------------------------------------------------
+# simhash soundness oracles (VERDICT r2 next-round #2)
+# ---------------------------------------------------------------------------
+
+def simhash_reference_table(d: str, sf_dir: str) -> str:
+    """Write an INDEPENDENT simhash reference for the driver ``documents``
+    table into the synth dir and return its path.
+
+    Deliberately naive per-doc implementation (no shared code with
+    ``textops._shingle_core``'s batched segment reduces): tokenize, pad to
+    3 tokens with '', unique word-3-grams, blake2b-64 little-endian hash,
+    per-bit majority vote.  The SQL oracles for ``simhash_docs`` and
+    ``dedup_simhash`` read this table, so the distributed kernel and the
+    pigeonhole pair miner are both checked against an independent
+    definition — not against themselves."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    out = os.path.join(d, "simhash_ref.parquet")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids, sims = tbl["doc_id"].to_pylist(), []
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in tbl["text"].to_pylist():
+        toks = (t or "").split()
+        if len(toks) < 3:
+            toks = toks + [""] * (3 - len(toks))
+        grams = {" ".join(toks[j:j + 3])
+                 for j in range(max(1, len(toks) - 2))}
+        h = np.array([int.from_bytes(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+            "little") for g in sorted(grams)], dtype=np.uint64)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        s = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        sims.append(s - (1 << 64) if s >= (1 << 63) else s)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "simhash": pa.array(sims, type=pa.int64())}),
+                   out)
+    return out
+
+
+def simhash_docs_sql(d: str, sf_dir: str) -> str:
+    """doc_id -> simhash from the independent reference table."""
+    ref = simhash_reference_table(d, sf_dir)
+    return f"""
+SELECT doc_id, simhash FROM read_parquet('{ref}') ORDER BY doc_id"""
+
+
+def dedup_simhash_sql(d: str, sf_dir: str, max_hamming: int) -> str:
+    """Brute-force all-pairs hamming over the independent simhash table:
+    DuckDB bit_count(xor()) on BIGINT matches numpy uint64 popcount
+    (two's complement, 64 bits).  The Ray side's block-key bucketing is
+    pigeonhole-EXACT, so equality holds by construction, not empirically
+    (up to the counted hot-bucket cap, asserted untripped in pytest)."""
+    ref = simhash_reference_table(d, sf_dir)
+    return f"""
+WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{ref}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""

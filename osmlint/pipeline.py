@@ -200,7 +200,10 @@ class FlagStage:
         return to_arrow(self.flags_for(df), schema.FLAGS)
 
 
-_WORKER_CACHE: dict = {}
+# Per-worker-process state cache.  Keyed by broadcast-ref identity, so it
+# can never serve state for regenerated inputs (new input ⇒ new ref ⇒ new
+# key); registered anyway so clear_caches() covers every cache dict.
+_WORKER_CACHE: dict = caches.register({})
 
 
 def _cached(key, builder):

@@ -261,6 +261,11 @@ RULE_QUERY_SLUGS = ("sophox_adding_name",
                     "sophox_adding_int_name")
 
 
+def _SIMHASH_MAX_HAMMING() -> int:
+    from .textops import SIMHASH_MAX_HAMMING
+    return SIMHASH_MAX_HAMMING
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -303,9 +308,23 @@ def ray_queries() -> dict:
 
 def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Oracle SQL strings for the driver's sf0.01 comparison.  Generating
-    here also materializes the synthetic tables the lint SQL reads.
-    Rows-only queries (hash-seeded approximations: simhash, minhash LSH,
-    n-gram jaccard, cosine LSH) intentionally have no oracle entry."""
+    here also materializes the synthetic tables the lint SQL reads (plus
+    the independent simhash reference table).
+
+    Oracle taxonomy for the approximate family:
+    * ``simhash_docs`` / ``dedup_simhash`` — sound BY CONSTRUCTION: the
+      values come from an independent reference implementation
+      (``oracle_sql.simhash_reference_table``) and the pair miner is
+      pigeonhole-exact, so equality is guaranteed, not empirical.
+    * ``dedup_minhash`` / ``embedding_cosine_pairs_lsh`` — checked against
+      the EXACT SQL (word-3-gram Jaccard / exact cosine).  LSH recall is
+      probabilistic in general, but for the FIXED driver tables + FIXED
+      seeds the result is deterministic, and in-repo gate tests
+      (tests/test_oracle_parity.py) assert exact-set equality at the
+      driver's sf before any driver run can see a drift.
+    * ``ann_topk_ivf`` — still rows-only (nprobe truncation is genuinely
+      approximate); its soundness property (reported rank never beats the
+      exact rank) is pytest-asserted instead."""
     d = _synth(sf_dir)
     return {
         "lint_flags": oracle_sql.lint_flags_sql(d),
@@ -321,6 +340,14 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard
         "dedup_ngram_jaccard": oracle_sql.ngram_jaccard_sql(0.3),
+        # soundness oracle: every reported pair carries the EXACT Jaccard,
+        # so the exact SQL at the same tau is the full expected set (LSH
+        # recall at the driver scale is exact — gate-tested in-repo)
+        "dedup_minhash": oracle_sql.ngram_jaccard_sql(0.5),
+        # independent-reference oracles (sound by construction)
+        "simhash_docs": oracle_sql.simhash_docs_sql(d, sf_dir),
+        "dedup_simhash": oracle_sql.dedup_simhash_sql(
+            d, sf_dir, _SIMHASH_MAX_HAMMING()),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

@@ -19,6 +19,7 @@ frames — the heavy work happened in the distributed pipeline."""
 from __future__ import annotations
 
 import html as _html
+import os
 
 import pandas as pd
 
@@ -114,12 +115,20 @@ def render_report(flags_ds, *, date=None) -> str:
 def write_report(data_dir: str, out_path: str) -> str:
     """Checkpoint the flags to parquet once (lineage checkpoint, not an
     object-store materialize), then render the three aggregations from
-    cheap columnar re-reads."""
+    cheap columnar re-reads.
+
+    The checkpoint root comes from ``$OSMLINT_CKPT_DIR``.  The local-tmp
+    default is SINGLE-NODE ONLY: on a multi-node cluster each worker
+    writes its blocks to its own node's tmp, so point the variable at a
+    shared filesystem / object-store URI there (ADVICE r2 #5)."""
     import shutil
     import tempfile
+    import uuid
 
     import ray.data as rd
-    tmp = tempfile.mkdtemp(prefix="osmlint_flags_")
+    root = os.environ.get("OSMLINT_CKPT_DIR")
+    tmp = (os.path.join(root, f"flags_{uuid.uuid4().hex}") if root
+           else tempfile.mkdtemp(prefix="osmlint_flags_"))
     try:
         pipeline.flags_dataset(data_dir).write_parquet(tmp)
         html = render_report(rd.read_parquet(tmp))

@@ -330,14 +330,14 @@ def band_explode(batch: pa.Table) -> pa.Table:
     })
 
 
-def _skip_sentinel(n_ids: int, group_key: int,
-                   what: str, schema: pa.Schema) -> pa.Table:
+def _skip_sentinel(n_ids: int, group_key: int, what: str,
+                   schema: pa.Schema, cap: int = MAX_POSTING) -> pa.Table:
     """Hot-bucket skip: warn AND emit a counted sentinel row
     (doc_a = -size, doc_b = unique bucket key) so the cap is never silent
     (metrics land in LAST_METRICS via ``split_cap_sentinels``)."""
     import logging
     logging.getLogger(__name__).warning(
-        "skipping hot %s with %d docs (> %d)", what, n_ids, MAX_POSTING)
+        "skipping hot %s with %d docs (> %d)", what, n_ids, cap)
     cols = {"doc_a": pa.array([-n_ids], type=pa.int64()),
             "doc_b": pa.array([np.int64(group_key)], type=pa.int64())}
     for f in schema:
@@ -352,13 +352,14 @@ def _mix_key(a: int, b: int) -> int:
     return k - (1 << 64) if k >= (1 << 63) else k
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pa.Table:
+def _bucket_pairs(g: pd.DataFrame, cap: int = MAX_POSTING) -> pa.Table:
     ids = np.unique(g["doc_id"].to_numpy())
     if len(ids) < 2:
         return _PAIR_SCHEMA.empty_table()
-    if len(ids) > MAX_POSTING:
+    if len(ids) > cap:
         key = _mix_key(g["bucket"].iat[0], g["band"].iat[0])
-        return _skip_sentinel(len(ids), key, "minhash bucket", _PAIR_SCHEMA)
+        return _skip_sentinel(len(ids), key, "minhash bucket", _PAIR_SCHEMA,
+                              cap)
     i, j = np.triu_indices(len(ids), k=1)
     return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
                      "doc_b": pa.array(ids[j], type=pa.int64())})
@@ -368,6 +369,19 @@ def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
                     num_partitions: int = 4) -> pd.DataFrame:
     """Join the packed shingle sets back per candidate side and compute
     EXACT Jaccard — vectorized C intersections per pair, candidates only."""
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+    # Ray's join aggregator builds a zero-column table for any partition
+    # that received NO left rows and acero then rejects the key ref — so
+    # (a) bail on an empty candidate set, (b) scale partition count with
+    # candidate volume (>=256 expected rows per partition) so no
+    # partition can come up empty at small scale; cand is materialized,
+    # so count() is free
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+    num_partitions = max(1, min(num_partitions, n_cand // 256))
     joined = cand.join(packed, "inner", num_partitions,
                        on=("doc_a",), right_on=("doc_id",))
     joined = joined.join(packed, "inner", num_partitions,
@@ -419,7 +433,8 @@ def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
 
-def minhash_dup_pairs(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+def minhash_dup_pairs(sf_dir: str, tau: float = 0.5,
+                      cap: int = MAX_POSTING) -> pd.DataFrame:
     """MinHash+LSH near-duplicate pairs: shingle checkpoint (ONE corpus
     pass, shared) → band → bucket groupby (24-byte rows) → pair dedup →
     join-back exact-Jaccard verify.  Hot-bucket skips are counted in
@@ -427,13 +442,15 @@ def minhash_dup_pairs(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
     bands = read_shingles(sf_dir, ["doc_id", "mh"]) \
         .map_batches(band_explode, batch_format="pyarrow")
     cand = _dedup_pairs(bands.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs, batch_format="pandas"))
-    cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_minhash", "doc_a")
+        lambda g: _bucket_pairs(g, cap), batch_format="pandas"))
+    cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_minhash", "doc_a",
+                               _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
     return _verify_jaccard(cand, packed, tau)
 
 
-def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
+def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3,
+                        cap: int = MAX_POSTING) -> pd.DataFrame:
     """Exact n-gram Jaccard pairs via a shared-n-gram inverted index:
     checkpointed shingle sets (ONE corpus pass, shared) → (ngram_hash,
     doc_id) postings → per-posting candidate pairs → dedup → join-back
@@ -454,9 +471,9 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
         if len(ids) < 2:
             return _PAIR_SCHEMA.empty_table()
-        if len(ids) > MAX_POSTING:
+        if len(ids) > cap:
             return _skip_sentinel(len(ids), int(g["ngram"].iat[0]),
-                                  "n-gram posting", _PAIR_SCHEMA)
+                                  "n-gram posting", _PAIR_SCHEMA, cap)
         i, j = np.triu_indices(len(ids), k=1)
         return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
                          "doc_b": pa.array(ids[j], type=pa.int64())})
@@ -466,7 +483,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
     cand = _dedup_pairs(posts.groupby("ngram").map_groups(
         posting_pairs, batch_format="pandas"))
     cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_ngram_jaccard",
-                               "doc_a")
+                               "doc_a", _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
     return _verify_jaccard(cand, packed, tau)
 
@@ -481,7 +498,8 @@ _SIMPAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
 
 
 def simhash_dup_pairs(sf_dir: str,
-                      max_hamming: int = SIMHASH_MAX_HAMMING) -> pd.DataFrame:
+                      max_hamming: int = SIMHASH_MAX_HAMMING,
+                      cap: int = MAX_POSTING) -> pd.DataFrame:
     """SimHash near-dup pairs: every pair within ``max_hamming`` bits.
 
     Classic block-key bucketing (Manku et al., WWW'07 shape): the 64-bit
@@ -512,10 +530,10 @@ def simhash_dup_pairs(sf_dir: str,
         g = g.drop_duplicates("doc_id")
         if len(g) < 2:
             return _SIMPAIR_SCHEMA.empty_table()
-        if len(g) > MAX_POSTING:
+        if len(g) > cap:
             key = _mix_key(g["key"].iat[0], g["block"].iat[0])
             return _skip_sentinel(len(g), key, "simhash bucket",
-                                  _SIMPAIR_SCHEMA)
+                                  _SIMPAIR_SCHEMA, cap)
         order = np.argsort(g["doc_id"].to_numpy())
         ids = g["doc_id"].to_numpy()[order]
         sh = g["simhash"].to_numpy().astype(np.uint64)[order]
