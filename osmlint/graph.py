@@ -1,0 +1,158 @@
+# -*- coding: utf-8 -*-
+"""Distributed graph primitives: connected components over an edge Dataset.
+
+The dedup family (``minhash_dup_pairs`` / ``ngram_jaccard_pairs`` /
+``simhash_dup_pairs``) mines near-duplicate PAIRS; turning pairs into
+dedup decisions needs the transitive closure — every doc labeled with its
+duplicate-cluster representative (the minimum doc_id in the component).
+
+Two paths, picked by edge volume:
+
+* **local** (edges <= ``SMALL_EDGES``): the near-dup pair set is OUTPUT
+  data, bounded by candidate volume — the same frame the pair queries
+  already hand the driver.  One vectorized numpy min-label kernel with
+  pointer jumping (O(E) per round, O(log n) rounds) closes it without
+  paying ~6 Ray join/groupby fixed costs per propagation round.
+* **distributed** (above the threshold, or ``small_threshold=0``):
+  iterated min-label propagation over Datasets — a (src, dst)
+  both-directions edge table is materialized once, every round joins it
+  against the current labels and takes ``groupby(node).min(label)``.
+  Labels only decrease, so the label SUM is the fixpoint detector
+  (strictly decreases iff any label changed; one scalar to the driver
+  per round, no old-vs-new join).  At 10^12-node scale the int64 sum
+  wraps mod 2^64 — still valid under monotonicity unless a round
+  decreases the sum by an exact multiple of 2^64 (vanishing odds).
+
+Round count is the eccentricity of each component from its minimum node
+(<= diameter); duplicate clusters are near-cliques, so 2-4 rounds in
+practice and ``max_rounds`` bounds pathological chains.  At 10^12-edge
+scale, swap the propagation for alternating large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) to bound rounds by O(log n) — same join/groupby shapes, so the
+shuffle story is unchanged.
+
+Shuffle shape (the 100 TB story): every distributed round moves
+(node, label) pairs — 16-byte rows — through one hash join plus one hash
+aggregate; edges are re-joined from their materialized blocks, never
+collected to the driver above the threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+#: local-closure ceiling: ~4M edges = 64 MB of int64 pairs on the driver —
+#: the same order as the pair-query output the driver already receives.
+SMALL_EDGES = 1 << 22
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _local_components(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Vectorized min-label closure with pointer jumping.
+
+    Nodes are compacted to sorted indices, so the converged minimum INDEX
+    per component maps back to the minimum doc_id.  Each round is O(E)
+    numpy; pointer jumping (``lab = lab[lab]``) halves chain depth, so
+    rounds ~ O(log n)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # the fixpoint check must span the WHOLE round: an edge processed
+        # before a later in-round lowering can be left label-inconsistent
+        # yet jump-stable, so comparing against a mid-round snapshot
+        # would stop early
+        start = lab.copy()
+        m = np.minimum(lab[ia], lab[ib])
+        np.minimum.at(lab, ia, m)
+        np.minimum.at(lab, ib, m)
+        lab = lab[lab]                       # pointer jump
+        if np.array_equal(lab, start):
+            break
+    sizes = np.bincount(lab, minlength=len(nodes))
+    return pd.DataFrame({"doc_id": nodes,
+                         "cluster_id": nodes[lab],
+                         "cluster_size": sizes[lab].astype(np.int64)})
+
+
+def _both_directions(batch: pa.Table) -> pa.Table:
+    a = batch["doc_a"].cast(pa.int64()).combine_chunks()
+    b = batch["doc_b"].cast(pa.int64()).combine_chunks()
+    return pa.table({"src": pa.concat_arrays([a, b]),
+                     "dst": pa.concat_arrays([b, a])})
+
+
+def _endpoints(batch: pa.Table) -> pa.Table:
+    a = batch["doc_a"].cast(pa.int64()).combine_chunks()
+    b = batch["doc_b"].cast(pa.int64()).combine_chunks()
+    n = pa.concat_arrays([a, b])
+    return pa.table({"node": n, "label": n})
+
+
+def _distributed_components(edges: rd.Dataset, n_edges: int,
+                            max_rounds: int,
+                            num_partitions: int) -> rd.Dataset:
+    # >=256 expected rows per join partition so no partition comes up
+    # empty (Ray's join finalizer rejects all-empty-left partitions)
+    num_partitions = max(1, min(num_partitions, (2 * n_edges) // 256))
+    eboth = edges.map_batches(_both_directions,
+                              batch_format="pyarrow").materialize()
+    labels = (edges.map_batches(_endpoints, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        prop = eboth.join(labels, "inner", num_partitions,
+                          on=("src",), right_on=("node",)) \
+            .map_batches(
+                lambda t: pa.table({"node": t["dst"].cast(pa.int64()),
+                                    "label": t["label"].cast(pa.int64())}),
+                batch_format="pyarrow")
+        new = (labels.union(prop)
+               .groupby("node").aggregate(Min("label", alias_name="label"))
+               .materialize())
+        new_sum = new.sum("label")
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def cluster_labels(edges: rd.Dataset, *, max_rounds: int = 50,
+                   num_partitions: int = 4,
+                   small_threshold: int = SMALL_EDGES) -> pd.DataFrame:
+    """Edges ``(doc_a, doc_b)`` -> ``(doc_id, cluster_id, cluster_size)``
+    sorted by ``doc_id``, where ``cluster_id`` is the component's minimum
+    doc_id.  Hybrid local/distributed closure (module docstring); pass
+    ``small_threshold=0`` to force the distributed path."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "cluster_id": pd.Series(dtype=np.int64),
+                          "cluster_size": pd.Series(dtype=np.int64)})
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+    if n_edges <= small_threshold:
+        df = edges.to_pandas()
+        return _local_components(
+            df["doc_a"].to_numpy(np.int64),
+            df["doc_b"].to_numpy(np.int64)) \
+            .sort_values("doc_id").reset_index(drop=True)
+    labels = _distributed_components(edges, n_edges, max_rounds,
+                                     num_partitions)
+    # per-cluster size: one row per cluster through a tiny hash aggregate,
+    # joined back onto the labels — no driver-side counting
+    sizes = labels.groupby("label").aggregate(
+        Count(alias_name="cluster_size"))
+    out = labels.join(sizes, "inner", 1, on=("label",), right_on=("label",))
+    df = out.to_pandas()
+    df = pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                       "cluster_id": df["label"].astype(np.int64),
+                       "cluster_size": df["cluster_size"].astype(np.int64)})
+    return df.sort_values("doc_id").reset_index(drop=True)

@@ -957,3 +957,97 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# round-3 training-data extensions: clusters / vocab / split / decontaminate
+# ---------------------------------------------------------------------------
+
+def dedup_clusters_sql(tau: float) -> str:
+    """Connected components over the exact word-3-gram Jaccard pair set:
+    recursive min-label closure (DuckDB UNION-recursive CTE keeps the
+    visited set, so the closure terminates), then a window count for the
+    per-cluster size — the independent check on the Ray side's iterated
+    label propagation."""
+    return f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_sql(tau)}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b AS n FROM edges),
+cc(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT CASE WHEN e.a = cc.n THEN e.b ELSE e.a END AS n, cc.l AS l
+  FROM cc JOIN edges e ON e.a = cc.n OR e.b = cc.n
+),
+lab AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM cc GROUP BY n)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+FROM lab ORDER BY doc_id"""
+
+
+def vocab_topk_sql(k: int) -> str:
+    """Global token frequency top-k; ties at the k boundary break on the
+    token string, mirroring the Ray sort key (n DESC, token ASC)."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}"""
+
+
+def corpus_split_sql(train_hex: str, val_hex: str) -> str:
+    """Deterministic 80/10/10 split: first 8 md5 hex chars of the decimal
+    doc_id, compared lexicographically (fixed-width lowercase hex orders
+    identically to the u32 value, so no hex parsing on either side)."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN h < '{train_hex}' THEN 'train'
+            WHEN h < '{val_hex}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents)
+ORDER BY doc_id"""
+
+
+def decontaminate_sql(eval_sources: tuple, n: int = 3) -> str:
+    """Eval-side docs sharing >=1 word-n-gram with any train-side doc.
+    Gram construction mirrors ``ngram_jaccard_sql`` (pad to n tokens,
+    distinct grams); the Ray side compares 64-bit gram hashes, the SQL
+    compares gram strings — equal up to ~1e-10 collision odds."""
+    src_list = ", ".join(f"'{s}'" for s in eval_sources)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id, source,
+         list_concat(t, list_transform(range(greatest(0, {n} - len(t))),
+                                       x -> '')) AS t
+  FROM toks
+), ng AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(t) - {n} + 2),
+           i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gs
+  FROM padded
+), ex AS (
+  SELECT doc_id, source, unnest(gs) AS g, len(gs) AS sz FROM ng
+), tr AS (
+  SELECT DISTINCT g FROM ex WHERE source NOT IN ({src_list})
+), ev AS (
+  SELECT doc_id, g, sz FROM ex WHERE source IN ({src_list})
+)
+SELECT ev.doc_id,
+       CAST(any_value(ev.sz) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_contaminated,
+       CAST(count(*) AS DOUBLE) / any_value(ev.sz) AS contamination
+FROM ev JOIN tr ON ev.g = tr.g
+GROUP BY ev.doc_id ORDER BY ev.doc_id"""

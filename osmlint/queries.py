@@ -145,6 +145,26 @@ def dedup_ngram_jaccard(sf_dir: str):
     return textops.ngram_jaccard_pairs(sf_dir)
 
 
+def dedup_clusters(sf_dir: str):
+    from . import textops
+    return textops.dedup_clusters(sf_dir)
+
+
+def vocab_topk(sf_dir: str):
+    from . import textops
+    return textops.vocab_topk(sf_dir)
+
+
+def corpus_split(sf_dir: str):
+    from . import textops
+    return textops.corpus_split(sf_dir)
+
+
+def decontaminate(sf_dir: str):
+    from . import textops
+    return textops.decontaminate(sf_dir)
+
+
 def corpus_filter(sf_dir: str):
     from . import textops
     return textops.corpus_filter(sf_dir)
@@ -266,6 +286,11 @@ def _SIMHASH_MAX_HAMMING() -> int:
     return SIMHASH_MAX_HAMMING
 
 
+def _textops():
+    from . import textops
+    return textops
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -285,6 +310,10 @@ def ray_queries() -> dict:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
+        "vocab_topk": vocab_topk,
+        "corpus_split": corpus_split,
+        "decontaminate": decontaminate,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
         "embedding_quantize": embedding_quantize,
@@ -348,6 +377,14 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "simhash_docs": oracle_sql.simhash_docs_sql(d, sf_dir),
         "dedup_simhash": oracle_sql.dedup_simhash_sql(
             d, sf_dir, _SIMHASH_MAX_HAMMING()),
+        # transitive closure of the (oracle-equal) minhash pair set —
+        # recursive CTE vs distributed min-label propagation
+        "dedup_clusters": oracle_sql.dedup_clusters_sql(0.5),
+        "vocab_topk": oracle_sql.vocab_topk_sql(_textops().VOCAB_K),
+        "corpus_split": oracle_sql.corpus_split_sql(
+            _textops()._SPLIT_TRAIN_HEX, _textops()._SPLIT_VAL_HEX),
+        "decontaminate": oracle_sql.decontaminate_sql(
+            _textops().EVAL_SOURCES),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

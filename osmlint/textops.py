@@ -248,8 +248,10 @@ def _unpack_binary_i64(tbl: pa.Table, col: str):
 
 def shingle_pack_batch(batch: pa.Table) -> pa.Table:
     """Checkpoint flavor: doc -> (sh, mh) as int64-packed binary blobs +
-    simhash.  Binary (not list) because the downstream verify joins go
-    through acero, which rejects list payload columns."""
+    simhash + source.  Binary (not list) because the downstream verify
+    joins go through acero, which rejects list payload columns; ``source``
+    rides along so corpus-partitioned consumers (``decontaminate``) need
+    no extra join back to the documents table."""
     df = batch.to_pandas()
     n = len(df)
     h, offsets, sigs, sim = _shingle_core(df["text"].fillna(""))
@@ -259,10 +261,15 @@ def shingle_pack_batch(batch: pa.Table) -> pa.Table:
         "mh": _pack_binary_i64(sigs.reshape(-1).astype(np.int64),
                                np.arange(0, (n + 1) * N_PERM, N_PERM)),
         "simhash": pa.array(sim, type=pa.int64()),
+        "source": pa.array(df["source"].astype(str), type=pa.string()),
     })
 
 
 _SHINGLE_CKPT: dict = caches.register({})
+
+#: bump when the checkpoint SCHEMA changes — part of the on-disk dir name,
+#: so an old-schema checkpoint can never be served for new code.
+_CKPT_VERSION = 2
 
 
 def shingle_checkpoint(sf_dir: str) -> str:
@@ -279,7 +286,7 @@ def shingle_checkpoint(sf_dir: str) -> str:
     import hashlib as _hl
     import tempfile
     path = os.path.join(sf_dir, "documents.parquet")
-    key = (path, caches.path_fingerprint(path))
+    key = (path, _CKPT_VERSION, caches.path_fingerprint(path))
     hit = _SHINGLE_CKPT.get(key)
     if hit and os.path.exists(os.path.join(hit, "_SUCCESS")):
         return hit
@@ -365,13 +372,13 @@ def _bucket_pairs(g: pd.DataFrame, cap: int = MAX_POSTING) -> pa.Table:
                      "doc_b": pa.array(ids[j], type=pa.int64())})
 
 
-def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
-                    num_partitions: int = 4) -> pd.DataFrame:
+def _verify_jaccard_ds(cand: rd.Dataset, packed: rd.Dataset, tau: float,
+                       num_partitions: int = 4) -> rd.Dataset | None:
     """Join the packed shingle sets back per candidate side and compute
-    EXACT Jaccard — vectorized C intersections per pair, candidates only."""
-    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                          "doc_b": pd.Series(dtype=np.int64),
-                          "jaccard": pd.Series(dtype=np.float64)})
+    EXACT Jaccard — vectorized C intersections per pair, candidates only.
+    Returns the verified-pair Dataset (``doc_a, doc_b, jaccard``), or
+    ``None`` for an empty candidate set (downstream consumers like
+    ``dedup_clusters`` keep streaming — no driver round-trip)."""
     # Ray's join aggregator builds a zero-column table for any partition
     # that received NO left rows and acero then rejects the key ref — so
     # (a) bail on an empty candidate set, (b) scale partition count with
@@ -380,7 +387,7 @@ def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
     # so count() is free
     n_cand = cand.count()
     if n_cand == 0:
-        return empty
+        return None
     num_partitions = max(1, min(num_partitions, n_cand // 256))
     joined = cand.join(packed, "inner", num_partitions,
                        on=("doc_a",), right_on=("doc_id",))
@@ -418,11 +425,20 @@ def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
                          "doc_b": pa.array(b[keep], type=pa.int64()),
                          "jaccard": pa.array(jac[keep], type=pa.float64())})
 
-    df = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
+                    num_partitions: int = 4) -> pd.DataFrame:
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+    ds = _verify_jaccard_ds(cand, packed, tau, num_partitions)
+    if ds is None:
+        return empty
+    df = ds.to_pandas()
     if df.empty:
-        df = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                           "doc_b": pd.Series(dtype=np.int64),
-                           "jaccard": pd.Series(dtype=np.float64)})
+        return empty
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -433,12 +449,11 @@ def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
 
-def minhash_dup_pairs(sf_dir: str, tau: float = 0.5,
-                      cap: int = MAX_POSTING) -> pd.DataFrame:
-    """MinHash+LSH near-duplicate pairs: shingle checkpoint (ONE corpus
-    pass, shared) → band → bucket groupby (24-byte rows) → pair dedup →
-    join-back exact-Jaccard verify.  Hot-bucket skips are counted in
-    ``LAST_METRICS['dedup_minhash']``."""
+def _minhash_verified_ds(sf_dir: str, tau: float,
+                         cap: int = MAX_POSTING) -> rd.Dataset | None:
+    """Shared core of ``minhash_dup_pairs`` / ``dedup_clusters``: the
+    verified (doc_a, doc_b, jaccard) pair Dataset, or None if no
+    candidates survive banding."""
     bands = read_shingles(sf_dir, ["doc_id", "mh"]) \
         .map_batches(band_explode, batch_format="pyarrow")
     cand = _dedup_pairs(bands.groupby(["band", "bucket"]).map_groups(
@@ -446,7 +461,26 @@ def minhash_dup_pairs(sf_dir: str, tau: float = 0.5,
     cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_minhash", "doc_a",
                                _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
-    return _verify_jaccard(cand, packed, tau)
+    return _verify_jaccard_ds(cand, packed, tau)
+
+
+def minhash_dup_pairs(sf_dir: str, tau: float = 0.5,
+                      cap: int = MAX_POSTING) -> pd.DataFrame:
+    """MinHash+LSH near-duplicate pairs: shingle checkpoint (ONE corpus
+    pass, shared) → band → bucket groupby (24-byte rows) → pair dedup →
+    join-back exact-Jaccard verify.  Hot-bucket skips are counted in
+    ``LAST_METRICS['dedup_minhash']``."""
+    ds = _minhash_verified_ds(sf_dir, tau, cap)
+    if ds is None:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+    df = ds.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3,
@@ -621,3 +655,168 @@ def corpus_stats(sf_dir: str) -> pd.DataFrame:
     df["mean_quality"] = (df["qsum"] / df["n_docs"]).round(6)
     return df.drop(columns="qsum") \
         .sort_values(["lang_pred", "source"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate CLUSTERS: pairs -> transitive closure -> canonical labels
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+    """Near-duplicate clusters: MinHash+LSH verified pairs -> distributed
+    connected components (``graph.connected_components`` min-label
+    propagation) -> ``(doc_id, cluster_id, cluster_size)`` where
+    ``cluster_id`` is the minimum doc_id in the component (the canonical
+    keeper a dedup pass retains).
+
+    End-to-end streaming: pairs stay a Dataset from the bucket groupby
+    through the closure — no driver round-trip of the pair set.  Oracle:
+    a DuckDB recursive CTE over the exact word-3-gram Jaccard pair SQL
+    (the minhash pair set is oracle-equal to it at gate scale)."""
+    from . import graph
+    pairs = _minhash_verified_ds(sf_dir, tau)
+    if pairs is None:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "cluster_id": pd.Series(dtype=np.int64),
+                             "cluster_size": pd.Series(dtype=np.int64)})
+    return graph.cluster_labels(pairs.drop_columns(["jaccard"]))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary: global token frequency top-k
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+
+def vocab_topk(sf_dir: str, k: int = VOCAB_K) -> pd.DataFrame:
+    """Top-k corpus vocabulary: lowercase whitespace tokens -> per-batch
+    ``value_counts`` partials (pre-aggregated inside ``map_batches``, so
+    the shuffle moves one row per DISTINCT token per block, not one per
+    occurrence) -> distributed ``groupby(token).sum`` -> distributed
+    sort on (n desc, token asc) -> ``limit(k)``.  Ties at the k boundary
+    are broken by the token sort key, so the result is deterministic."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (batch["text"].to_pandas().fillna("")
+                .str.lower().str.split().explode().dropna())
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index.astype(str),
+                                           type=pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    top = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .sort(["n", "token"], descending=[True, False])
+           .limit(k).to_pandas())
+    top["n"] = top["n"].astype(np.int64)
+    return top.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (80/10/10 by doc_id hash)
+# ---------------------------------------------------------------------------
+
+#: lexicographic thresholds on the first 8 md5 hex chars: fixed-width
+#: lowercase hex compares identically to the u32 value, so the SQL oracle
+#: is a plain string comparison — no hex parsing on either side.
+_SPLIT_TRAIN_HEX = "cccccccc"   # 0.8 * 2^32
+_SPLIT_VAL_HEX = "e6666666"     # 0.9 * 2^32
+
+
+def corpus_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment: md5 of the decimal doc_id
+    -> first 8 hex chars -> 80/10/10 buckets.  Stable across runs,
+    machines and engine versions (the split must never move a doc between
+    train and eval when the pipeline is re-run on new hardware)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h8 = np.array([hashlib.md5(str(i).encode()).hexdigest()[:8]
+                       for i in ids])
+        split = np.where(h8 < _SPLIT_TRAIN_HEX, "train",
+                         np.where(h8 < _SPLIT_VAL_HEX, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids),
+                         "split": pa.array(split, type=pa.string())})
+
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: eval docs sharing n-grams with the train side
+# ---------------------------------------------------------------------------
+
+#: default eval slice of the driver documents table (20 uniform sources)
+EVAL_SOURCES = ("src16", "src17", "src18", "src19")
+
+
+def decontaminate(sf_dir: str,
+                  eval_sources: tuple = EVAL_SOURCES,
+                  num_partitions: int = 4) -> pd.DataFrame:
+    """Train/eval n-gram contamination report: for every eval-side doc
+    sharing >=1 word-3-gram with ANY train-side doc, emit
+    ``(doc_id, n_grams, n_contaminated, contamination)``.
+
+    Shape (the 100 TB story): both sides read the shared shingle
+    checkpoint (no extra corpus pass).  The train side collapses to its
+    DISTINCT gram hashes via a hash aggregate (8-byte rows — never doc
+    bodies); eval postings (gram, doc_id, set_size) semi-join that gram
+    set, then a per-doc Count/Max aggregate yields the report — cost
+    tracks posting volume, with no quadratic pair step at all.  Gram
+    identity is the 64-bit blake2b shingle hash (collision odds ~1e-10 at
+    gate scale); the SQL oracle compares gram STRINGS, so a collision
+    would surface as a hash mismatch rather than hide."""
+    from ray.data.aggregate import Max
+    es = set(eval_sources)
+    sh = read_shingles(sf_dir, ["doc_id", "sh", "source"])
+
+    def postings(batch: pa.Table, keep_eval: bool) -> pa.Table:
+        schema = pa.schema(
+            [("ngram", pa.int64()), ("doc_id", pa.int64())]
+            + ([("sz", pa.int64())] if keep_eval else []))
+        mask = np.isin(np.asarray(batch["source"].to_pandas()), list(es))
+        if not keep_eval:
+            mask = ~mask
+        if not mask.any():
+            return schema.empty_table()
+        tbl = batch.filter(pa.array(mask))
+        h, offsets = _unpack_binary_i64(tbl, "sh")
+        sz = np.diff(offsets)
+        seg = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), sz)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"ngram": pa.array(h, type=pa.int64()),
+                "doc_id": pa.array(ids[seg])}
+        if keep_eval:
+            cols["sz"] = pa.array(sz[seg])
+        return pa.table(cols)
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "n_grams": pd.Series(dtype=np.int64),
+                          "n_contaminated": pd.Series(dtype=np.int64),
+                          "contamination": pd.Series(dtype=np.float64)})
+    train_grams = (sh.map_batches(
+        lambda b: postings(b, False), batch_format="pyarrow")
+        .groupby("ngram").aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]).materialize())
+    ev = sh.map_batches(lambda b: postings(b, True),
+                        batch_format="pyarrow").materialize()
+    n_ev = ev.count()
+    if n_ev == 0 or train_grams.count() == 0:
+        return empty
+    num_partitions = max(1, min(num_partitions, n_ev // 256))
+    hits = ev.join(train_grams, "inner", num_partitions,
+                   on=("ngram",), right_on=("ngram",))
+    rep = hits.groupby("doc_id").aggregate(
+        Count(alias_name="n_contaminated"),
+        Max("sz", alias_name="n_grams")).to_pandas()
+    if rep.empty:
+        return empty
+    rep["n_grams"] = rep["n_grams"].astype(np.int64)
+    rep["n_contaminated"] = rep["n_contaminated"].astype(np.int64)
+    rep["contamination"] = rep["n_contaminated"] / rep["n_grams"]
+    return rep[["doc_id", "n_grams", "n_contaminated", "contamination"]] \
+        .sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,175 @@
+# -*- coding: utf-8 -*-
+"""Round-3 corpus operators: connected-component dedup clusters (local +
+distributed closure paths), vocabulary top-k, deterministic split, and
+train/eval n-gram decontamination."""
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from osmlint import graph, textops
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_local_cc_mid_round_counterexample():
+    """Edge order (1,2),(0,2): a mid-round fixpoint check would stop with
+    node 1 still labeled 1 (processed before node 2 was lowered)."""
+    df = graph._local_components(np.array([1, 0]), np.array([2, 2]))
+    assert df["cluster_id"].tolist() == [0, 0, 0]
+    assert df["cluster_size"].tolist() == [3, 3, 3]
+
+
+def test_local_cc_chain_and_islands():
+    # chain 10-11-12-13, pair (20,21), self-contained triangle 30-31-32
+    a = np.array([10, 11, 12, 20, 30, 31, 30])
+    b = np.array([11, 12, 13, 21, 31, 32, 32])
+    df = graph._local_components(a, b).set_index("doc_id")
+    assert df.loc[[10, 11, 12, 13], "cluster_id"].tolist() == [10] * 4
+    assert df.loc[[20, 21], "cluster_id"].tolist() == [20] * 2
+    assert df.loc[[30, 31, 32], "cluster_size"].tolist() == [3] * 3
+
+
+def test_distributed_cc_matches_local(ray_session):
+    """Force the distributed min-label path and compare against the local
+    closure on a graph with a long chain (multiple propagation rounds)."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60, 120)
+    b = rng.integers(0, 60, 120)
+    keep = a != b
+    edges = pd.DataFrame({"doc_a": np.r_[a[keep], np.arange(100, 107)],
+                          "doc_b": np.r_[b[keep], np.arange(101, 108)]})
+    loc = graph.cluster_labels(rd.from_pandas(edges))
+    dist = graph.cluster_labels(rd.from_pandas(edges), small_threshold=0)
+    pd.testing.assert_frame_equal(loc, dist)
+    # the appended chain 100-...-107 is one component of size 8
+    assert (loc.set_index("doc_id").loc[np.arange(100, 108),
+                                        "cluster_size"] == 8).all()
+
+
+def test_cluster_labels_empty(ray_session):
+    out = graph.cluster_labels(rd.from_pandas(
+        pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                      "doc_b": pd.Series(dtype=np.int64)})))
+    assert out.empty and list(out.columns) == ["doc_id", "cluster_id",
+                                               "cluster_size"]
+
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(tmp_path_factory, ray_session):
+    """Two groups of identical docs (sizes 3 and 2) + distinct fillers."""
+    d = tmp_path_factory.mktemp("dupdocs")
+    rows = [(i, "identical text body shared by the first duplicate group",
+             "en", "srcA") for i in range(3)]
+    rows += [(10 + i, "second group of matching documents right here now",
+              "en", "srcA") for i in range(2)]
+    rows += [(20 + i, f"unique filler number {i} with tokens {i * 7}",
+              "en", "srcA") for i in range(4)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_clusters_end_to_end(dup_docs_dir):
+    cl = textops.dedup_clusters(dup_docs_dir, tau=0.5)
+    assert cl["doc_id"].tolist() == [0, 1, 2, 10, 11]
+    assert cl["cluster_id"].tolist() == [0, 0, 0, 10, 10]
+    assert cl["cluster_size"].tolist() == [3, 3, 3, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk
+# ---------------------------------------------------------------------------
+
+def test_vocab_topk(tmp_path, ray_session):
+    d = str(tmp_path)
+    texts = ["Alpha beta beta GAMMA", "alpha beta  gamma\tdelta", "ALPHA"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": texts, "lang": "en", "source": "s",
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    top = textops.vocab_topk(d, k=3)
+    # alpha 3, beta 3 (tie broken by token asc), gamma 2
+    assert top["token"].tolist() == ["alpha", "beta", "gamma"]
+    assert top["n"].tolist() == [3, 3, 2]
+
+
+# ---------------------------------------------------------------------------
+# corpus_split
+# ---------------------------------------------------------------------------
+
+def test_corpus_split_deterministic_and_balanced(ray_session):
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("no driver data")
+    s1 = textops.corpus_split(sf)
+    s2 = textops.corpus_split(sf)
+    pd.testing.assert_frame_equal(s1, s2)
+    frac = s1["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    assert set(s1["split"]) == {"train", "val", "test"}
+    # independent reimplementation of the assignment rule per row
+    for _, row in s1.head(20).iterrows():
+        h8 = hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8]
+        exp = ("train" if h8 < textops._SPLIT_TRAIN_HEX
+               else "val" if h8 < textops._SPLIT_VAL_HEX else "test")
+        assert row["split"] == exp
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def contam_dir(tmp_path_factory, ray_session):
+    """One eval doc copies a train doc (full contamination), one shares a
+    prefix (partial), one is clean."""
+    d = tmp_path_factory.mktemp("contam")
+    train = [(0, "the quick brown fox jumps over the lazy dog", "train_src"),
+             (1, "completely different training material here", "train_src")]
+    evals = [(10, "the quick brown fox jumps over the lazy dog", "eval_src"),
+             (11, "the quick brown fox sat somewhere else entirely today",
+              "eval_src"),
+             (12, "nothing in common with training data at all", "eval_src")]
+    rows = [(i, t, "en", s) for i, t, s in train + evals]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def _grams(text, n=3):
+    toks = text.split()
+    return {" ".join(toks[i:i + n]) for i in range(max(1, len(toks) - n + 1))}
+
+
+def test_decontaminate(contam_dir):
+    rep = textops.decontaminate(contam_dir, eval_sources=("eval_src",))
+    rep = rep.set_index("doc_id")
+    assert 12 not in rep.index                       # clean doc not reported
+    assert rep.loc[10, "contamination"] == 1.0       # exact copy
+    # partial doc: expected overlap computed independently
+    tr_grams = _grams("the quick brown fox jumps over the lazy dog") | \
+        _grams("completely different training material here")
+    ev_grams = _grams("the quick brown fox sat somewhere else entirely today")
+    exp = len(ev_grams & tr_grams)
+    assert rep.loc[11, "n_contaminated"] == exp
+    assert rep.loc[11, "n_grams"] == len(ev_grams)
+    assert 0 < rep.loc[11, "contamination"] < 1
+
+
+def test_decontaminate_no_eval_side(contam_dir):
+    rep = textops.decontaminate(contam_dir, eval_sources=("absent_src",))
+    assert rep.empty
