@@ -1051,3 +1051,73 @@ SELECT ev.doc_id,
        CAST(count(*) AS DOUBLE) / any_value(ev.sz) AS contamination
 FROM ev JOIN tr ON ev.g = tr.g
 GROUP BY ev.doc_id ORDER BY ev.doc_id"""
+
+
+def repetition_stats_sql() -> str:
+    """Duplicate word-n-gram fractions (n=2,3); padding per n mirrors the
+    shingle rule, so totals are max(1, n_tokens-n+1)."""
+    def grams(n: int) -> str:
+        return (f"list_transform(range(1, len(t{n}) - {n} + 2), "
+                f"i -> array_to_string(t{n}[i:i+{n - 1}], ' '))")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         list_concat(t, list_transform(range(greatest(0, 2 - len(t))),
+                                       x -> '')) AS t2,
+         list_concat(t, list_transform(range(greatest(0, 3 - len(t))),
+                                       x -> '')) AS t3
+  FROM toks
+), g AS (
+  SELECT doc_id, {grams(2)} AS g2, {grams(3)} AS g3 FROM padded
+)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n2_total,
+       CAST(len(list_distinct(g2)) AS BIGINT) AS n2_distinct,
+       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+           AS dup2_fraction,
+       CAST(len(g3) AS BIGINT) AS n3_total,
+       CAST(len(list_distinct(g3)) AS BIGINT) AS n3_distinct,
+       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           AS dup3_fraction
+FROM g ORDER BY doc_id"""
+
+
+def token_quantiles_sql(qs: tuple) -> str:
+    """Per-language discrete quantiles of the doc token count
+    (``quantile_disc``: sorted element at index max(ceil(q*n),1)-1)."""
+    qlist = "[" + ", ".join(str(float(q)) for q in qs) + "]"
+    return rf"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+)
+SELECT lang, unnest({qlist}) AS q,
+       unnest(quantile_disc(n_tokens, {qlist})) AS n_tokens
+FROM t GROUP BY lang ORDER BY lang, q"""
+
+
+def corpus_redact_sql(patterns: tuple) -> str:
+    """Chained regexp_replace mirroring the Ray-side pattern order; each
+    pattern's match count is taken on the PREVIOUS pattern's output."""
+    # stage-unique column names (tx0 -> tx1 -> ...) so the count and the
+    # replace in one SELECT can never resolve to each other's alias
+    sql = "WITH r0 AS (SELECT doc_id, coalesce(text, '') AS tx0, 0 AS c0 " \
+          "FROM documents)"
+    for i, (pat, repl) in enumerate(patterns, 1):
+        sql += (f",\nr{i} AS (SELECT doc_id, "
+                f"regexp_replace(tx{i - 1}, '{pat}', '{repl}', 'g') "
+                f"AS tx{i}, "
+                f"c{i - 1} + len(regexp_extract_all(tx{i - 1}, '{pat}')) "
+                f"AS c{i} FROM r{i - 1})")
+    n = len(patterns)
+    sql += (f"\nSELECT doc_id, tx{n} AS text_redacted, "
+            f"CAST(c{n} AS BIGINT) AS n_redactions FROM r{n} "
+            "ORDER BY doc_id")
+    return sql

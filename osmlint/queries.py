@@ -165,6 +165,21 @@ def decontaminate(sf_dir: str):
     return textops.decontaminate(sf_dir)
 
 
+def repetition_stats(sf_dir: str):
+    from . import textops
+    return textops.repetition_stats(sf_dir)
+
+
+def token_quantiles(sf_dir: str):
+    from . import textops
+    return textops.token_quantiles(sf_dir)
+
+
+def corpus_redact(sf_dir: str):
+    from . import textops
+    return textops.corpus_redact(sf_dir)
+
+
 def corpus_filter(sf_dir: str):
     from . import textops
     return textops.corpus_filter(sf_dir)
@@ -314,6 +329,9 @@ def ray_queries() -> dict:
         "vocab_topk": vocab_topk,
         "corpus_split": corpus_split,
         "decontaminate": decontaminate,
+        "repetition_stats": repetition_stats,
+        "token_quantiles": token_quantiles,
+        "corpus_redact": corpus_redact,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
         "embedding_quantize": embedding_quantize,
@@ -385,6 +403,11 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _textops()._SPLIT_TRAIN_HEX, _textops()._SPLIT_VAL_HEX),
         "decontaminate": oracle_sql.decontaminate_sql(
             _textops().EVAL_SOURCES),
+        "repetition_stats": oracle_sql.repetition_stats_sql(),
+        "token_quantiles": oracle_sql.token_quantiles_sql(
+            _textops().TOKEN_QUANTILES),
+        "corpus_redact": oracle_sql.corpus_redact_sql(
+            _textops().REDACT_PATTERNS),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

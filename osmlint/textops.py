@@ -450,15 +450,18 @@ def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
 
 
 def _minhash_verified_ds(sf_dir: str, tau: float,
-                         cap: int = MAX_POSTING) -> rd.Dataset | None:
+                         cap: int = MAX_POSTING,
+                         metrics_key: str = "dedup_minhash"
+                         ) -> rd.Dataset | None:
     """Shared core of ``minhash_dup_pairs`` / ``dedup_clusters``: the
     verified (doc_a, doc_b, jaccard) pair Dataset, or None if no
-    candidates survive banding."""
+    candidates survive banding.  Cap metrics land under ``metrics_key``
+    so each caller's skip counters stay distinguishable."""
     bands = read_shingles(sf_dir, ["doc_id", "mh"]) \
         .map_batches(band_explode, batch_format="pyarrow")
     cand = _dedup_pairs(bands.groupby(["band", "bucket"]).map_groups(
         lambda g: _bucket_pairs(g, cap), batch_format="pandas"))
-    cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_minhash", "doc_a",
+    cand = split_cap_sentinels(cand, LAST_METRICS, metrics_key, "doc_a",
                                _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
     return _verify_jaccard_ds(cand, packed, tau)
@@ -673,7 +676,7 @@ def dedup_clusters(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
     a DuckDB recursive CTE over the exact word-3-gram Jaccard pair SQL
     (the minhash pair set is oracle-equal to it at gate scale)."""
     from . import graph
-    pairs = _minhash_verified_ds(sf_dir, tau)
+    pairs = _minhash_verified_ds(sf_dir, tau, metrics_key="dedup_clusters")
     if pairs is None:
         return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                              "cluster_id": pd.Series(dtype=np.int64),
@@ -820,3 +823,121 @@ def decontaminate(sf_dir: str,
     rep["contamination"] = rep["n_contaminated"] / rep["n_grams"]
     return rep[["doc_id", "n_grams", "n_contaminated", "contamination"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# repetition stats: duplicate n-gram fraction (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc duplicate word-n-gram fractions for n=2,3 — the classic
+    repetition quality signal (cf. Rae et al., "Scaling Language Models:
+    ... Gopher", 2021, repetition filters): a high fraction of repeated
+    n-grams marks low-quality/boilerplate text.
+
+    One stateless vectorized pass: gram totals come straight from token
+    counts (``max(1, n_tokens - n + 1)`` with the shingle padding rule),
+    distinct counts from the segment-deduped hash path ``_doc_shingles``
+    already uses — no per-doc Python loops beyond the shared C-hash
+    generator."""
+    def rep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        text = df["text"].fillna("")
+        n_tok = text.str.count(r"\S+").to_numpy(np.int64)
+        cols = {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64))}
+        for n in (2, 3):
+            _, offsets = _doc_shingles(text, n)
+            distinct = np.diff(offsets).astype(np.int64)
+            total = np.maximum(1, n_tok - n + 1)
+            frac = (total - distinct) / total
+            cols[f"n{n}_total"] = pa.array(total)
+            cols[f"n{n}_distinct"] = pa.array(distinct)
+            cols[f"dup{n}_fraction"] = pa.array(frac, type=pa.float64())
+        return pa.table(cols)
+
+    return read_docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles via integer histogram aggregation
+# ---------------------------------------------------------------------------
+
+TOKEN_QUANTILES = (0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+
+def token_quantiles(sf_dir: str,
+                    qs: tuple = TOKEN_QUANTILES) -> pd.DataFrame:
+    """EXACT per-language quantiles of the doc token count, computed
+    distributedly without a global sort: per-batch (lang, n_tokens)
+    histogram partials -> ``groupby.sum`` -> the driver walks the
+    cumulative histogram (#langs x #distinct token counts rows — bounded
+    by max doc length, NOT corpus size, so driver-safe at 100 TB).
+
+    Quantile definition matches DuckDB ``quantile_disc``: the sorted
+    element at index ``max(ceil(q*n), 1) - 1``."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n_tok = df["text"].fillna("").str.count(r"\S+").to_numpy(np.int64)
+        g = pd.DataFrame({"lang": df["lang"], "n_tokens": n_tok}) \
+            .groupby(["lang", "n_tokens"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({"lang": pa.array(g["lang"].astype(str)),
+                         "n_tokens": pa.array(g["n_tokens"]
+                                              .to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    hist = (read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_tokens"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    out = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens")
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        total = int(cum[-1])
+        vals = g["n_tokens"].to_numpy(np.int64)
+        for q in qs:
+            k = max(int(np.ceil(q * total)), 1)
+            out.append((lang, float(q), int(vals[np.searchsorted(
+                cum, k, side="left")])))
+    return pd.DataFrame(out, columns=["lang", "q", "n_tokens"]) \
+        .sort_values(["lang", "q"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (emails / phone numbers / long digit runs)
+# ---------------------------------------------------------------------------
+
+#: applied IN ORDER; replacement tokens are single tokens so redaction
+#: composes with the token/ngram operators downstream.
+REDACT_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    (r"\b\d{4,}\b", "<NUM>"),
+)
+
+
+def corpus_redact(sf_dir: str) -> rd.Dataset:
+    """Training-corpus PII scrub: emails, phone-shaped digit runs and long
+    digit sequences replaced by placeholder tokens, with a per-doc
+    redaction count.  Patterns are RE2-compatible (no backtracking
+    constructs), so the DuckDB oracle applies the same chain with
+    ``regexp_replace(..., 'g')``; counts mirror the chain order (each
+    pattern is counted on the PREVIOUS pattern's output).  The driver
+    corpus contains no PII, so the gate verifies the identity path —
+    pytest fixtures exercise live matches."""
+    import re
+    compiled = [(re.compile(p), r) for p, r in REDACT_PATTERNS]
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        text = df["text"].fillna("")
+        n_red = np.zeros(len(df), dtype=np.int64)
+        for rx, repl in compiled:
+            n_red += text.str.count(rx).to_numpy(np.int64)
+            text = text.str.replace(rx, repl, regex=True)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "text_redacted": pa.array(text.astype(str), type=pa.string()),
+            "n_redactions": pa.array(n_red)})
+
+    return read_docs(sf_dir).map_batches(scrub, batch_format="pyarrow")

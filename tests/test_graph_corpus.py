@@ -173,3 +173,72 @@ def test_decontaminate(contam_dir):
 def test_decontaminate_no_eval_side(contam_dir):
     rep = textops.decontaminate(contam_dir, eval_sources=("absent_src",))
     assert rep.empty
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats / token_quantiles / corpus_redact
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats(tmp_path, ray_session):
+    d = str(tmp_path)
+    texts = ["a b a b a b",             # heavy 2-gram repetition
+             "one two three four five"]  # no repetition
+    df = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64),
+                       "text": texts, "lang": "en", "source": "s",
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.repetition_stats(d).to_pandas().set_index("doc_id")
+    # "a b a b a b": 5 bigrams total, 2 distinct ("a b", "b a")
+    assert out.loc[0, "n2_total"] == 5 and out.loc[0, "n2_distinct"] == 2
+    assert out.loc[0, "dup2_fraction"] == pytest.approx(3 / 5)
+    assert out.loc[1, "dup2_fraction"] == 0.0
+    # trigrams of doc 0: 4 total, 2 distinct
+    assert out.loc[0, "n3_total"] == 4 and out.loc[0, "n3_distinct"] == 2
+
+
+def test_token_quantiles_matches_duckdb_def(ray_session):
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("no driver data")
+    import duckdb
+    from osmlint import oracle_sql
+    got = textops.token_quantiles(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(oracle_sql.token_quantiles_sql(
+        textops.TOKEN_QUANTILES)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_corpus_redact_live_patterns(tmp_path, ray_session):
+    d = str(tmp_path)
+    texts = ["contact bob@example.com or +381 11 2345678 now",
+             "serial 123456789 and a@b.co end",
+             "nothing to redact here"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": texts, "lang": "en", "source": "s",
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.corpus_redact(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text_redacted"] == "contact <EMAIL> or <PHONE> now"
+    assert out.loc[0, "n_redactions"] == 2
+    assert out.loc[1, "text_redacted"] == "serial <PHONE> and <EMAIL> end"
+    assert out.loc[2, "text_redacted"] == "nothing to redact here"
+    assert out.loc[2, "n_redactions"] == 0
+    # DuckDB oracle agrees on live patterns, not just the identity path
+    import duckdb
+    from osmlint import oracle_sql
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = con.execute(oracle_sql.corpus_redact_sql(
+        textops.REDACT_PATTERNS)).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index().sort_values("doc_id").reset_index(drop=True),
+        exp.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
