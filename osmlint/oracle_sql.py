@@ -1121,3 +1121,54 @@ def corpus_redact_sql(patterns: tuple) -> str:
             f"CAST(c{n} AS BIGINT) AS n_redactions FROM r{n} "
             "ORDER BY doc_id")
     return sql
+
+
+def corpus_sample_sql(rate_hex: dict, default_hex: str) -> str:
+    """Stratified deterministic sample: md5('s:' || doc_id) first-8-hex
+    compared against the per-language rate threshold (fixed-width hex ==
+    u32 ordering, same trick as the split)."""
+    when = "\n            ".join(
+        f"WHEN '{lang}' THEN '{hx}'" for lang, hx in rate_hex.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+         CASE lang
+            {when}
+            ELSE '{default_hex}' END AS thr
+  FROM documents
+)
+SELECT doc_id, lang FROM t WHERE h < thr ORDER BY doc_id"""
+
+
+def doc_chunks_sql(chunk_tokens: int) -> str:
+    """Fixed-window token chunks; list slices are 1-based inclusive in
+    DuckDB, chunk count = ceil(n_tokens / w), zero-token docs emit no
+    rows (range(0) is empty)."""
+    w = chunk_tokens
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least({w}, len(t) - i * {w}) AS BIGINT) AS n_tokens,
+       array_to_string(t[i * {w} + 1 : i * {w} + {w}], ' ') AS chunk_text
+FROM toks,
+     unnest(range(CAST(ceil(len(t) / {w}.0) AS BIGINT))) AS u(i)
+ORDER BY doc_id, chunk_idx"""
+
+
+def dedup_apply_sql(tau: float) -> str:
+    """Retained corpus after near-dup clustering: drop every cluster
+    member except the canonical minimum (clusters from the recursive CC
+    closure over the exact pair SQL)."""
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(tau)})
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
+                       WHERE doc_id != cluster_id)
+ORDER BY d.doc_id"""

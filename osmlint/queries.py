@@ -180,6 +180,21 @@ def corpus_redact(sf_dir: str):
     return textops.corpus_redact(sf_dir)
 
 
+def corpus_sample(sf_dir: str):
+    from . import textops
+    return textops.corpus_sample(sf_dir)
+
+
+def doc_chunks(sf_dir: str):
+    from . import textops
+    return textops.doc_chunks(sf_dir)
+
+
+def dedup_apply(sf_dir: str):
+    from . import textops
+    return textops.dedup_apply(sf_dir)
+
+
 def corpus_filter(sf_dir: str):
     from . import textops
     return textops.corpus_filter(sf_dir)
@@ -332,6 +347,9 @@ def ray_queries() -> dict:
         "repetition_stats": repetition_stats,
         "token_quantiles": token_quantiles,
         "corpus_redact": corpus_redact,
+        "corpus_sample": corpus_sample,
+        "doc_chunks": doc_chunks,
+        "dedup_apply": dedup_apply,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
         "embedding_quantize": embedding_quantize,
@@ -408,6 +426,12 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _textops().TOKEN_QUANTILES),
         "corpus_redact": oracle_sql.corpus_redact_sql(
             _textops().REDACT_PATTERNS),
+        "corpus_sample": oracle_sql.corpus_sample_sql(
+            {k: _textops()._rate_hex(v)
+             for k, v in _textops().SAMPLE_RATES.items()},
+            _textops()._rate_hex(_textops().SAMPLE_DEFAULT_RATE)),
+        "doc_chunks": oracle_sql.doc_chunks_sql(_textops().CHUNK_TOKENS),
+        "dedup_apply": oracle_sql.dedup_apply_sql(0.5),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

@@ -31,6 +31,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -941,3 +942,105 @@ def corpus_redact(sf_dir: str) -> rd.Dataset:
             "n_redactions": pa.array(n_red)})
 
     return read_docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: per-language sampling rates (uniform default for unlisted languages);
+#: u32 thresholds precomputed as fixed-width hex for SQL-parity string
+#: comparison, exactly like the split thresholds.
+SAMPLE_RATES = {"en": 0.5}
+SAMPLE_DEFAULT_RATE = 0.2
+
+
+def _rate_hex(rate: float) -> str:
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def corpus_sample(sf_dir: str, rates: dict = SAMPLE_RATES,
+                  default_rate: float = SAMPLE_DEFAULT_RATE) -> pd.DataFrame:
+    """Deterministic per-language stratified sample: keep a doc iff
+    ``md5('s:' + doc_id)`` lands under its language's rate threshold.
+    The ``'s:'`` prefix decorrelates the sample from ``corpus_split``
+    (same ids hashed bare would make sampling correlate with the split).
+    Stateless and stable — re-running on new hardware keeps the same
+    docs, and upping a rate only ADDS docs (nested samples)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    thresholds = {k: _rate_hex(v) for k, v in rates.items()}
+    default_hex = _rate_hex(default_rate)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(batch["lang"].to_pandas().astype(str))
+        h8 = np.array([hashlib.md5(f"s:{i}".encode()).hexdigest()[:8]
+                       for i in ids])
+        thr = np.array([thresholds.get(lg, default_hex) for lg in langs])
+        keep = h8 < thr
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "lang": pa.array(langs[keep], type=pa.string())})
+
+    df = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# fixed-window token chunking (pretraining sequence prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+
+
+def doc_chunks(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS) -> rd.Dataset:
+    """Split every doc into consecutive ``chunk_tokens``-token windows:
+    ``(doc_id, chunk_idx, n_tokens, chunk_text)``; zero-token docs emit
+    no chunks, whitespace normalizes to single spaces (tokens are
+    re-joined).  Stateless flat transform — output volume tracks token
+    volume, rows never shuffle."""
+    def chunk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_id, out_idx, out_n, out_tx = [], [], [], []
+        for i, t in zip(df["doc_id"].to_numpy(np.int64),
+                        df["text"].fillna("")):
+            toks = t.split()
+            for c in range(0, len(toks), chunk_tokens):
+                w = toks[c:c + chunk_tokens]
+                out_id.append(i)
+                out_idx.append(c // chunk_tokens)
+                out_n.append(len(w))
+                out_tx.append(" ".join(w))
+        return pa.table({
+            "doc_id": pa.array(np.array(out_id, dtype=np.int64)),
+            "chunk_idx": pa.array(np.array(out_idx, dtype=np.int64)),
+            "n_tokens": pa.array(np.array(out_n, dtype=np.int64)),
+            "chunk_text": pa.array(out_tx, type=pa.string())})
+
+    return read_docs(sf_dir).map_batches(chunk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup apply: the final keep-list (pairs -> clusters -> retained corpus)
+# ---------------------------------------------------------------------------
+
+def dedup_apply(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+    """Materialize the dedup decision: every doc_id retained after
+    near-duplicate clustering keeps only each cluster's canonical
+    (minimum) member.  The drop set — cluster members other than the
+    canonical — is OUTPUT-scale data, broadcast into a vectorized filter
+    over the streaming doc read; the corpus itself never shuffles."""
+    clusters = dedup_clusters(sf_dir, tau)
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                            "doc_id"].tolist())
+    drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ~np.isin(ids, ray.get(drop_ref))
+        return pa.table({"doc_id": pa.array(ids[mask])})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

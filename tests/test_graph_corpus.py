@@ -242,3 +242,59 @@ def test_corpus_redact_live_patterns(tmp_path, ray_session):
         out.reset_index().sort_values("doc_id").reset_index(drop=True),
         exp.sort_values("doc_id").reset_index(drop=True),
         check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# corpus_sample / doc_chunks / dedup_apply
+# ---------------------------------------------------------------------------
+
+def test_corpus_sample_nested_and_decorrelated(ray_session):
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("no driver data")
+    s_small = textops.corpus_sample(sf, rates={}, default_rate=0.2)
+    s_big = textops.corpus_sample(sf, rates={}, default_rate=0.5)
+    # nested samples: raising the rate only ADDS docs
+    assert set(s_small["doc_id"]) <= set(s_big["doc_id"])
+    assert 0.1 < len(s_small) / 500 < 0.3
+    # per-lang override really changes only that stratum
+    s_en = textops.corpus_sample(sf, rates={"en": 0.5}, default_rate=0.2)
+    merged = s_en.merge(s_small, on="doc_id", how="outer", indicator=True,
+                        suffixes=("", "_s"))
+    only_new = merged[merged["_merge"] == "left_only"]
+    assert (only_new["lang"] == "en").all()
+    # decorrelated from the split: the 's:' prefix means the sample is not
+    # just a subset of one split bucket
+    sp = textops.corpus_split(sf).set_index("doc_id")["split"]
+    assert sp.loc[s_small["doc_id"]].nunique() > 1
+
+
+def test_doc_chunks_semantics(tmp_path, ray_session):
+    d = str(tmp_path)
+    texts = [" ".join(f"t{i}" for i in range(10)),   # 10 tokens -> 3 chunks @4
+             "one two",                               # 1 chunk
+             ""]                                      # 0 chunks
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": texts, "lang": "en", "source": "s",
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.doc_chunks(d, chunk_tokens=4).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert out[out["doc_id"] == 0]["n_tokens"].tolist() == [4, 4, 2]
+    assert out[out["doc_id"] == 0]["chunk_text"].iloc[2] == "t8 t9"
+    assert out[out["doc_id"] == 1]["chunk_text"].tolist() == ["one two"]
+    assert (out["doc_id"] != 2).all()
+    # every token survives, in order
+    rejoined = " ".join(out[out["doc_id"] == 0]["chunk_text"])
+    assert rejoined == texts[0]
+
+
+def test_dedup_apply_consistent_with_clusters(dup_docs_dir):
+    kept = textops.dedup_apply(dup_docs_dir, tau=0.5)
+    cl = textops.dedup_clusters(dup_docs_dir, tau=0.5)
+    dropped = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    all_ids = set(range(3)) | {10, 11} | {20, 21, 22, 23}
+    assert set(kept["doc_id"]) == all_ids - dropped
+    # canonical member of every cluster is retained
+    assert set(cl["cluster_id"]) <= set(kept["doc_id"])
