@@ -124,35 +124,52 @@ def _distributed_components(edges: rd.Dataset, n_edges: int,
     return labels
 
 
+_CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("cluster_id", pa.int64()),
+                             ("cluster_size", pa.int64())])
+
+
 def cluster_labels(edges: rd.Dataset, *, max_rounds: int = 50,
                    num_partitions: int = 4,
-                   small_threshold: int = SMALL_EDGES) -> pd.DataFrame:
+                   small_threshold: int = SMALL_EDGES,
+                   as_dataset: bool = False):
     """Edges ``(doc_a, doc_b)`` -> ``(doc_id, cluster_id, cluster_size)``
-    sorted by ``doc_id``, where ``cluster_id`` is the component's minimum
-    doc_id.  Hybrid local/distributed closure (module docstring); pass
-    ``small_threshold=0`` to force the distributed path."""
+    sorted by ``doc_id`` (as pandas), where ``cluster_id`` is the
+    component's minimum doc_id.  Hybrid local/distributed closure (module
+    docstring); ``small_threshold=0`` forces the distributed path.
+
+    ``as_dataset=True`` returns an (unsorted) Ray Dataset instead —
+    downstream consumers (``dedup_apply``'s anti-join) keep the labels
+    distributed; above the threshold they never visit the driver."""
     empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                           "cluster_id": pd.Series(dtype=np.int64),
                           "cluster_size": pd.Series(dtype=np.int64)})
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
-        return empty
+        return rd.from_arrow(_CLUSTER_SCHEMA.empty_table()) \
+            if as_dataset else empty
     if n_edges <= small_threshold:
         df = edges.to_pandas()
-        return _local_components(
+        out = _local_components(
             df["doc_a"].to_numpy(np.int64),
             df["doc_b"].to_numpy(np.int64)) \
             .sort_values("doc_id").reset_index(drop=True)
+        return rd.from_pandas(out) if as_dataset else out
     labels = _distributed_components(edges, n_edges, max_rounds,
                                      num_partitions)
     # per-cluster size: one row per cluster through a tiny hash aggregate,
     # joined back onto the labels — no driver-side counting
     sizes = labels.groupby("label").aggregate(
         Count(alias_name="cluster_size"))
-    out = labels.join(sizes, "inner", 1, on=("label",), right_on=("label",))
+    out = labels.join(sizes, "inner", 1, on=("label",), right_on=("label",)) \
+        .map_batches(
+            lambda b: pa.table({
+                "doc_id": b["node"].cast(pa.int64()),
+                "cluster_id": b["label"].cast(pa.int64()),
+                "cluster_size": b["cluster_size"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    if as_dataset:
+        return out
     df = out.to_pandas()
-    df = pd.DataFrame({"doc_id": df["node"].astype(np.int64),
-                       "cluster_id": df["label"].astype(np.int64),
-                       "cluster_size": df["cluster_size"].astype(np.int64)})
     return df.sort_values("doc_id").reset_index(drop=True)

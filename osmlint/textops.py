@@ -665,7 +665,8 @@ def corpus_stats(sf_dir: str) -> pd.DataFrame:
 # near-duplicate CLUSTERS: pairs -> transitive closure -> canonical labels
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+def dedup_clusters(sf_dir: str, tau: float = 0.5,
+                   as_dataset: bool = False):
     """Near-duplicate clusters: MinHash+LSH verified pairs -> distributed
     connected components (``graph.connected_components`` min-label
     propagation) -> ``(doc_id, cluster_id, cluster_size)`` where
@@ -679,10 +680,12 @@ def dedup_clusters(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
     from . import graph
     pairs = _minhash_verified_ds(sf_dir, tau, metrics_key="dedup_clusters")
     if pairs is None:
-        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                             "cluster_id": pd.Series(dtype=np.int64),
-                             "cluster_size": pd.Series(dtype=np.int64)})
-    return graph.cluster_labels(pairs.drop_columns(["jaccard"]))
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "cluster_id": pd.Series(dtype=np.int64),
+                              "cluster_size": pd.Series(dtype=np.int64)})
+        return rd.from_pandas(empty) if as_dataset else empty
+    return graph.cluster_labels(pairs.drop_columns(["jaccard"]),
+                                as_dataset=as_dataset)
 
 
 # ---------------------------------------------------------------------------
@@ -710,8 +713,20 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K) -> pd.DataFrame:
                                            type=pa.string()),
                          "n": pa.array(vc.to_numpy(np.int64))})
 
+    def prune(batch: pa.Table) -> pa.Table:
+        # counts are FINAL after the aggregate, so the global top-k is a
+        # subset of the union of per-block top-k — pruning bounds the
+        # final sort input to #blocks x k rows instead of the whole
+        # vocabulary (billions of rows at 100 TB)
+        df = batch.to_pandas() \
+            .sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return pa.table({"token": pa.array(df["token"].astype(str),
+                                           type=pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64))})
+
     top = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .map_batches(prune, batch_format="pyarrow")
            .sort(["n", "token"], descending=[True, False])
            .limit(k).to_pandas())
     top["n"] = top["n"].astype(np.int64)
@@ -1024,23 +1039,70 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS) -> rd.Dataset:
 # dedup apply: the final keep-list (pairs -> clusters -> retained corpus)
 # ---------------------------------------------------------------------------
 
-def dedup_apply(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+#: broadcast-filter ceiling for the drop set (int64 ids; 1<<24 = 128 MB
+#: per worker).  A 100 TB dedup can drop a third of the corpus — far
+#: beyond any broadcast — so above this the anti-join path engages.
+DROP_BROADCAST_MAX = 1 << 24
+
+
+def dedup_apply(sf_dir: str, tau: float = 0.5,
+                broadcast_max: int = DROP_BROADCAST_MAX,
+                num_partitions: int = 4) -> pd.DataFrame:
     """Materialize the dedup decision: every doc_id retained after
     near-duplicate clustering keeps only each cluster's canonical
-    (minimum) member.  The drop set — cluster members other than the
-    canonical — is OUTPUT-scale data, broadcast into a vectorized filter
-    over the streaming doc read; the corpus itself never shuffles."""
-    clusters = dedup_clusters(sf_dir, tau)
-    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
-                            "doc_id"].tolist())
-    drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+    (minimum) member.
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = ~np.isin(ids, ray.get(drop_ref))
-        return pa.table({"doc_id": pa.array(ids[mask])})
+    The drop set (cluster members other than the canonical) is NOT small
+    at scale — a heavy-dup corpus drops a large fraction of itself — so
+    the apply has two paths:
 
+    * drop set <= ``broadcast_max``: one ``ray.put`` of the sorted id
+      array, vectorized ``np.isin`` filter inside the streaming doc read
+      (no shuffle at all);
+    * larger: distributed LEFT OUTER join of the doc-id stream against
+      the drop Dataset on ``doc_id`` (both sides are narrow int64
+      columns), keeping rows with no match — the standard anti-join,
+      with only 8-byte keys + a 1-byte marker riding the shuffle; the
+      labels never visit the driver (``cluster_labels`` stays a
+      Dataset)."""
+    import pyarrow.compute as pc
+    clusters = dedup_clusters(sf_dir, tau, as_dataset=True)
+
+    def to_drop(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        return pa.table({"doc_id": batch["doc_id"].filter(m),
+                         "_dup": pa.array(
+                             np.ones(int(pc.sum(m).as_py() or 0),
+                                     dtype=np.int8))})
+
+    drop = clusters.map_batches(to_drop,
+                                batch_format="pyarrow").materialize()
+    n_drop = drop.count()
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"])
-    df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+    if n_drop == 0:
+        df = ds.to_pandas()
+    elif n_drop <= broadcast_max:
+        drop_ref = ray.put(np.sort(
+            drop.to_pandas()["doc_id"].to_numpy(np.int64)))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            mask = ~np.isin(ids, ray.get(drop_ref))
+            return pa.table({"doc_id": pa.array(ids[mask])})
+
+        df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    else:
+        num_partitions = max(1, min(num_partitions, n_drop // 256))
+        joined = ds.join(drop, "left_outer", num_partitions,
+                         on=("doc_id",), right_on=("doc_id",))
+
+        def keep_unmatched(batch: pa.Table) -> pa.Table:
+            m = pc.is_null(batch["_dup"])
+            return pa.table({"doc_id": batch["doc_id"].filter(m)})
+
+        df = joined.map_batches(keep_unmatched,
+                                batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)

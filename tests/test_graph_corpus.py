@@ -298,3 +298,18 @@ def test_dedup_apply_consistent_with_clusters(dup_docs_dir):
     assert set(kept["doc_id"]) == all_ids - dropped
     # canonical member of every cluster is retained
     assert set(cl["cluster_id"]) <= set(kept["doc_id"])
+
+
+def test_dedup_apply_antijoin_path_matches_broadcast(dup_docs_dir):
+    """broadcast_max=0 forces the distributed left-outer anti-join; both
+    paths must retain the identical doc set."""
+    fast = textops.dedup_apply(dup_docs_dir, tau=0.5)
+    slow = textops.dedup_apply(dup_docs_dir, tau=0.5, broadcast_max=0)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_dedup_clusters_dataset_contract(dup_docs_dir):
+    ds = textops.dedup_clusters(dup_docs_dir, tau=0.5, as_dataset=True)
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        df, textops.dedup_clusters(dup_docs_dir, tau=0.5))
