@@ -1172,3 +1172,70 @@ SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
                        WHERE doc_id != cluster_id)
 ORDER BY d.doc_id"""
+
+
+def top_quality_docs_sql(n: int) -> str:
+    """row_number() OVER (PARTITION BY lang ORDER BY quality DESC,
+    doc_id) — quality re-derived with the TEXT_STATS arithmetic (no
+    transcendentals, so doubles are bit-identical to the Ray kernel)."""
+    return rf"""
+WITH c AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+        AS n_tokens,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS BIGINT)
+        AS punct_cnt,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+        '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT)
+        AS stop_cnt,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+      + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                                / greatest(n_tokens, 1)))
+      AS quality
+  FROM c
+), ranked AS (
+  SELECT lang, doc_id, quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id) AS r
+  FROM scored
+)
+SELECT lang, doc_id, quality, CAST(r AS BIGINT) AS rank
+FROM ranked WHERE r <= {n} ORDER BY lang, rank"""
+
+
+def tfidf_keywords_sql(top: int, min_df: int) -> str:
+    """Per-doc top TF-IDF keywords; scores rounded to 6 decimals with
+    floor(x*1e6+0.5)/1e6 BEFORE ranking (matches the Ray side, avoids
+    DuckDB-vs-numpy half-rounding differences)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM toks)
+  GROUP BY token HAVING count(*) >= {min_df}
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         floor(tf.tf * ln(n.n_docs / df.df) * 1e6 + 0.5) / 1e6 AS s
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, token) AS r
+  FROM scored
+)
+SELECT doc_id, token, s AS tfidf, CAST(r AS BIGINT) AS rank
+FROM ranked WHERE r <= {top} ORDER BY doc_id, rank"""

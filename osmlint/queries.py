@@ -195,6 +195,16 @@ def dedup_apply(sf_dir: str):
     return textops.dedup_apply(sf_dir)
 
 
+def top_quality_docs(sf_dir: str):
+    from . import textops
+    return textops.top_quality_docs(sf_dir)
+
+
+def tfidf_keywords(sf_dir: str):
+    from . import textops
+    return textops.tfidf_keywords(sf_dir)
+
+
 def corpus_filter(sf_dir: str):
     from . import textops
     return textops.corpus_filter(sf_dir)
@@ -350,6 +360,8 @@ def ray_queries() -> dict:
         "corpus_sample": corpus_sample,
         "doc_chunks": doc_chunks,
         "dedup_apply": dedup_apply,
+        "top_quality_docs": top_quality_docs,
+        "tfidf_keywords": tfidf_keywords,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
         "embedding_quantize": embedding_quantize,
@@ -432,6 +444,10 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _textops()._rate_hex(_textops().SAMPLE_DEFAULT_RATE)),
         "doc_chunks": oracle_sql.doc_chunks_sql(_textops().CHUNK_TOKENS),
         "dedup_apply": oracle_sql.dedup_apply_sql(0.5),
+        "top_quality_docs": oracle_sql.top_quality_docs_sql(
+            _textops().TOP_QUALITY_N),
+        "tfidf_keywords": oracle_sql.tfidf_keywords_sql(
+            _textops().TFIDF_TOP, _textops().TFIDF_MIN_DF),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

@@ -1106,3 +1106,142 @@ def dedup_apply(sf_dir: str, tau: float = 0.5,
         df = joined.map_batches(keep_unmatched,
                                 batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# top-n per group (windowed rank): best docs by quality per language
+# ---------------------------------------------------------------------------
+
+TOP_QUALITY_N = 5
+
+
+def top_quality_docs(sf_dir: str, n: int = TOP_QUALITY_N) -> pd.DataFrame:
+    """Top-``n`` docs per language by quality score — the windowed-rank
+    shape (``row_number() OVER (PARTITION BY lang ORDER BY ...)``)
+    without a window engine: per-batch vectorized top-n partials (each
+    batch contributes at most n rows per language), then a tiny
+    ``groupby(lang)`` final rank over #blocks x n survivors.  Ties break
+    on ``doc_id`` so the ranking is total and deterministic.  The quality
+    kernel is arithmetic-only (no transcendentals), so the SQL oracle's
+    doubles are bit-identical."""
+    def partial(batch: pa.Table) -> pa.Table:
+        stats = stats_batch(batch).to_pandas()
+        stats["lang"] = np.asarray(batch["lang"].to_pandas().astype(str))
+        top = (stats.sort_values(["quality", "doc_id"],
+                                 ascending=[False, True])
+               .groupby("lang", sort=False).head(n))
+        return pa.table({
+            "lang": pa.array(top["lang"].astype(str), type=pa.string()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "quality": pa.array(top["quality"].to_numpy(np.float64))})
+
+    def final_rank(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["quality", "doc_id"],
+                          ascending=[False, True]).head(n)
+        return pa.table({
+            "lang": pa.array(g["lang"].astype(str), type=pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "quality": pa.array(g["quality"].to_numpy(np.float64)),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64))})
+
+    df = (read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+          .groupby("lang").map_groups(final_rank, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords per doc
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+TFIDF_MIN_DF = 2
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    # floor(x*1e6 + 0.5)/1e6 on BOTH sides: DuckDB round() is
+    # half-away-from-zero while numpy rounds half-to-even
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def tfidf_keywords(sf_dir: str, top: int = TFIDF_TOP,
+                   min_df: int = TFIDF_MIN_DF) -> pd.DataFrame:
+    """Per-doc top-``top`` keywords by TF-IDF (``tf * ln(N/df)``), over
+    lowercase whitespace tokens with document frequency >= ``min_df``
+    (hapax pruning — removes long-tail noise AND bounds the broadcast).
+
+    Two passes, no per-doc shuffle: pass 1 builds the document-frequency
+    table via distinct-per-doc posting partials -> ``groupby(token)``
+    count -> df filter (the long tail of df < min_df tokens — the vast
+    majority of a corpus vocabulary — never leaves the aggregate); the
+    surviving df table is broadcast as sorted arrays.  Pass 2 re-reads
+    docs, computes tf in-batch, looks df up via ``searchsorted``, and
+    takes the per-doc top-k entirely inside the batch (a doc's tokens
+    never span batches on the doc-table read).  Scores are rounded to 6
+    decimals BEFORE ranking on both the Ray and SQL side, so float noise
+    can't flip ranks."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def distinct_postings(batch: pa.Table) -> pa.Table:
+        toks = (batch["text"].to_pandas().fillna("")
+                .str.lower().str.split())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        seg = np.repeat(ids, toks.str.len().fillna(0).astype(np.int64))
+        flat = toks.explode().dropna()
+        u = pd.DataFrame({"doc_id": seg, "token": flat.to_numpy()}) \
+            .drop_duplicates()
+        return pa.table({"token": pa.array(u["token"].astype(str),
+                                           type=pa.string()),
+                         "d": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    dfreq = (docs.map_batches(distinct_postings, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("d", alias_name="df"))
+             .to_pandas())
+    import pyarrow.parquet as pq
+    dfreq = dfreq[dfreq["df"] >= min_df].sort_values("token")
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    vocab_ref = ray.put((dfreq["token"].to_numpy(str),
+                         dfreq["df"].to_numpy(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, dfv = ray.get(vocab_ref)
+        out = {"doc_id": [], "token": [], "tfidf": [], "rank": []}
+        df_ = batch.to_pandas()
+        toks = df_["text"].fillna("").str.lower().str.split()
+        ids = df_["doc_id"].to_numpy(np.int64)
+        seg = np.repeat(np.arange(len(df_)),
+                        toks.str.len().fillna(0).astype(np.int64))
+        flat = np.asarray(toks.explode().dropna(), dtype=str)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tfidf": pa.array([], type=pa.float64()),
+                             "rank": pa.array([], type=pa.int64())})
+        tf = pd.DataFrame({"i": seg, "token": flat}) \
+            .groupby(["i", "token"], sort=False).size().reset_index(name="tf")
+        pos = np.searchsorted(vocab, tf["token"].to_numpy(str))
+        pos = np.clip(pos, 0, max(len(vocab) - 1, 0))
+        hit = (vocab[pos] == tf["token"].to_numpy(str)) if len(vocab) \
+            else np.zeros(len(tf), dtype=bool)
+        tf = tf[hit].copy()
+        if not len(tf):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tfidf": pa.array([], type=pa.float64()),
+                             "rank": pa.array([], type=pa.int64())})
+        tf["s"] = _round6(tf["tf"].to_numpy(np.float64)
+                          * np.log(float(n_docs) / dfv[pos[hit]]))
+        tf = tf.sort_values(["i", "s", "token"],
+                            ascending=[True, False, True])
+        tf["rank"] = tf.groupby("i", sort=False).cumcount() + 1
+        tf = tf[tf["rank"] <= top]
+        return pa.table({
+            "doc_id": pa.array(ids[tf["i"].to_numpy(np.int64)]),
+            "token": pa.array(tf["token"].astype(str), type=pa.string()),
+            "tfidf": pa.array(tf["s"].to_numpy(np.float64)),
+            "rank": pa.array(tf["rank"].to_numpy(np.int64))})
+
+    df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)

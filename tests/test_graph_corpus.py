@@ -313,3 +313,42 @@ def test_dedup_clusters_dataset_contract(dup_docs_dir):
     df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         df, textops.dedup_clusters(dup_docs_dir, tau=0.5))
+
+
+# ---------------------------------------------------------------------------
+# top_quality_docs / tfidf_keywords
+# ---------------------------------------------------------------------------
+
+def test_top_quality_docs_rank_semantics(ray_session):
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("no driver data")
+    out = textops.top_quality_docs(sf, n=3)
+    assert set(out.groupby("lang")["rank"].apply(list)
+               .map(tuple)) == {(1, 2, 3)}
+    for _, g in out.groupby("lang"):
+        q = g.sort_values("rank")["quality"].to_numpy()
+        assert (q[:-1] >= q[1:]).all()           # non-increasing by rank
+
+
+def test_tfidf_keywords_hapax_pruned_and_ranked(tmp_path, ray_session):
+    d = str(tmp_path)
+    texts = ["apple banana apple cherry",
+             "banana cherry cherry durian",
+             "apple banana unique"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": texts, "lang": "en", "source": "s",
+                       "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.tfidf_keywords(d, top=2, min_df=2)
+    # hapaxes (durian df=1, unique df=1) never appear
+    assert not set(out["token"]) & {"durian", "unique"}
+    # doc 0: apple tf=2 idf=ln(3/2) > banana/cherry tf=1 -> apple rank 1
+    d0 = out[out["doc_id"] == 0].sort_values("rank")
+    assert d0["token"].iloc[0] == "apple"
+    exp = np.floor(2 * np.log(3 / 2) * 1e6 + 0.5) / 1e6
+    assert d0["tfidf"].iloc[0] == exp
+    # ranks are 1..top per doc
+    assert (out.groupby("doc_id")["rank"].min() == 1).all()
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
