@@ -93,11 +93,14 @@ def _scaling_inner(num_cpus: int) -> dict:
     best, rows = None, 0
     import osmlint
     for _ in range(2):
-        # measure the FULL pipeline every trial: the registered caches
-        # (collision table, broadcast refs, raster band, shingle ckpt)
-        # would otherwise let trial 2 skip the dedup pre-pass.  One public
-        # clear — tests/test_properties.py asserts every module cache is
-        # registered, so a future cache can't quietly inflate efficiency.
+        # measure the FULL pipeline every trial: the registered in-memory
+        # caches (collision table, broadcast refs, raster band) would
+        # otherwise let trial 2 skip the dedup pre-pass.  The flagship
+        # touches no disk checkpoints (those are shingle-family only and
+        # cleared via clear_caches(purge_disk=True) when needed).  One
+        # public clear — a registry tripwire test asserts every module
+        # cache dict is registered, so a future cache can't quietly
+        # inflate efficiency.
         osmlint.clear_caches()
         t0 = _t.time()
         rows = pipeline.flags_dataset(d, dedup=True).count()

@@ -237,9 +237,10 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
     cand = cand.groupby(["vec_a", "vec_b"]) \
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     cand = _split_cap_sentinels(cand, "cosine_pairs_lsh", "vec_a")
-    # Ray's join aggregator crashes on a partition with NO left rows:
-    # bail on empty candidates and scale partition count with candidate
-    # volume (cand is materialized, count() is free)
+    # Ray's join finalizer crashes on an EMPTY left dataset (empty
+    # partitions are fine — verified incl. hub keys): bail on zero
+    # candidates; the partition-count scaling is small-scale perf tuning
+    # (cand is materialized, count() is free)
     n_cand = cand.count()
     if n_cand == 0:
         return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),

@@ -29,10 +29,28 @@ def registered() -> list[dict]:
     return list(_REGISTRY)
 
 
-def clear_caches() -> int:
-    """Empty every registered cache; returns how many dicts were cleared."""
+_PURGERS: list = []
+
+
+def register_purger(fn):
+    """Register a callback that deletes a module's ON-DISK artifacts
+    (checkpoints).  In-memory registry clearing never touches disk —
+    disk checkpoints are content-fingerprinted resume points, correct to
+    reuse — so purgers only run on an explicit ``purge_disk=True``."""
+    _PURGERS.append(fn)
+    return fn
+
+
+def clear_caches(purge_disk: bool = False) -> int:
+    """Empty every registered cache; returns how many dicts were cleared.
+    ``purge_disk=True`` additionally runs the registered disk purgers
+    (for benchmarks that must measure genuinely cold runs of
+    checkpoint-backed operators)."""
     for c in _REGISTRY:
         c.clear()
+    if purge_disk:
+        for fn in _PURGERS:
+            fn()
     return len(_REGISTRY)
 
 

@@ -62,7 +62,9 @@ def _local_components(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[: len(a)], inv[len(a):]
     lab = np.arange(len(nodes), dtype=np.int64)
+    rounds = 0
     while True:
+        rounds += 1
         # the fixpoint check must span the WHOLE round: an edge processed
         # before a later in-round lowering can be left label-inconsistent
         # yet jump-stable, so comparing against a mid-round snapshot
@@ -74,6 +76,7 @@ def _local_components(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
         lab = lab[lab]                       # pointer jump
         if np.array_equal(lab, start):
             break
+    LAST_INFO.update({"rounds": rounds, "converged": True})
     sizes = np.bincount(lab, minlength=len(nodes))
     return pd.DataFrame({"doc_id": nodes,
                          "cluster_id": nodes[lab],
@@ -94,11 +97,17 @@ def _endpoints(batch: pa.Table) -> pa.Table:
     return pa.table({"node": n, "label": n})
 
 
+#: exposed after every closure: rounds used + whether the propagation
+#: converged (the "no silent caps" surface for the max_rounds bound).
+LAST_INFO: dict = {}
+
+
 def _distributed_components(edges: rd.Dataset, n_edges: int,
                             max_rounds: int,
                             num_partitions: int) -> rd.Dataset:
-    # >=256 expected rows per join partition so no partition comes up
-    # empty (Ray's join finalizer rejects all-empty-left partitions)
+    # partition-count scaling is small-scale perf tuning (fewer shuffle
+    # actors for tiny edge sets); empty partitions are safe — only an
+    # empty left DATASET breaks Ray's join, and n_edges > 0 here
     num_partitions = max(1, min(num_partitions, (2 * n_edges) // 256))
     eboth = edges.map_batches(_both_directions,
                               batch_format="pyarrow").materialize()
@@ -106,7 +115,8 @@ def _distributed_components(edges: rd.Dataset, n_edges: int,
               .groupby("node").aggregate(Min("label", alias_name="label"))
               .materialize())
     prev_sum = labels.sum("label")
-    for _ in range(max_rounds):
+    converged, rounds = False, 0
+    for rounds in range(1, max_rounds + 1):
         prop = eboth.join(labels, "inner", num_partitions,
                           on=("src",), right_on=("node",)) \
             .map_batches(
@@ -119,8 +129,17 @@ def _distributed_components(edges: rd.Dataset, n_edges: int,
         new_sum = new.sum("label")
         labels = new
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    LAST_INFO.update({"rounds": rounds, "converged": converged})
+    if not converged:
+        # no silent caps: a truncated closure splits true components
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected_components did NOT converge in %d rounds — labels "
+            "are an over-segmentation; raise max_rounds (or switch to "
+            "large-star/small-star for log-bounded rounds)", max_rounds)
     return labels
 
 
@@ -159,10 +178,14 @@ def cluster_labels(edges: rd.Dataset, *, max_rounds: int = 50,
     labels = _distributed_components(edges, n_edges, max_rounds,
                                      num_partitions)
     # per-cluster size: one row per cluster through a tiny hash aggregate,
-    # joined back onto the labels — no driver-side counting
+    # joined back onto the labels (num_partitions scales with label
+    # volume so the label set never funnels through a single join task)
+    n_labels = labels.count()
     sizes = labels.groupby("label").aggregate(
         Count(alias_name="cluster_size"))
-    out = labels.join(sizes, "inner", 1, on=("label",), right_on=("label",)) \
+    out = labels.join(sizes, "inner",
+                      max(1, min(num_partitions, n_labels // 256)),
+                      on=("label",), right_on=("label",)) \
         .map_batches(
             lambda b: pa.table({
                 "doc_id": b["node"].cast(pa.int64()),

@@ -23,9 +23,15 @@ def split_cap_sentinels(cand: rd.Dataset, metrics: dict, query: str,
                         id_col: str, schema: pa.Schema) -> rd.Dataset:
     """Strip sentinel rows (``id_col < 0``) from the deduped candidate set,
     record ``{skipped_buckets, skipped_docs}`` under ``metrics[query]``,
-    and return the real candidate pairs.  Blocks are normalized to
-    ``schema`` — empty aggregate partitions emit zero-column blocks that
-    would otherwise break the downstream acero join."""
+    and return the real candidate pairs MATERIALIZED (downstream callers
+    count() and join the result — a lazy filter would re-execute per
+    consumer).  Blocks are normalized to ``schema`` — empty aggregate
+    partitions emit zero-column blocks that would otherwise break the
+    downstream acero join.
+
+    Sentinel encoding assumes REAL ids are non-negative (the whole engine
+    keys docs by int64 >= 0; ``shingle_pack_batch`` rejects negatives
+    loudly), so ``id_col < 0`` can never strip a genuine candidate."""
     cand = cand.materialize()
 
     def neg(b: pa.Table) -> pa.Table:
@@ -45,4 +51,4 @@ def split_cap_sentinels(cand: rd.Dataset, metrics: dict, query: str,
         "skipped_buckets": int(len(sent)),
         "skipped_docs": int((-sent[id_col]).sum()) if len(sent) else 0,
     }
-    return cand.map_batches(pos, batch_format="pyarrow")
+    return cand.map_batches(pos, batch_format="pyarrow").materialize()

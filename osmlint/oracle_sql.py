@@ -910,11 +910,17 @@ def simhash_reference_table(d: str, sf_dir: str) -> str:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-    out = os.path.join(d, "simhash_ref.parquet")
+
+    from . import caches
+    src = os.path.join(sf_dir, "documents.parquet")
+    # content fingerprint in the filename: an in-place regeneration of the
+    # source table can never serve a stale reference
+    fp = hashlib.md5(repr(caches.path_fingerprint(src)).encode()) \
+        .hexdigest()[:12]
+    out = os.path.join(d, f"simhash_ref_{fp}.parquet")
     if os.path.exists(out):
         return out
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
     ids, sims = tbl["doc_id"].to_pylist(), []
     shifts = np.arange(64, dtype=np.uint64)
     for t in tbl["text"].to_pylist():

@@ -406,7 +406,8 @@ _COLLISION_CACHE: dict = caches.register({})
 
 def collision_keys(data_dir: str, slugs: list[str],
                    *, read_path: str | None = None,
-                   n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+                   n_buckets: int = N_BUCKETS,
+                   fingerprint: tuple | None = None) -> pd.DataFrame:
     """The SMALL side of the last-wins dedup: (map_slug, osm_id, max_seq)
     for entity ids occurring more than once within a map partition
     (reference keys its accumulator by bare id, last write wins —
@@ -424,7 +425,10 @@ def collision_keys(data_dir: str, slugs: list[str],
     (flags -> summary -> merge -> fix_plan) pay for the pre-pass once."""
     slug2code = {s: i for i, s in enumerate(slugs)}
     path = read_path or os.path.join(data_dir, "docs")
-    ck = (path, caches.path_fingerprint(path), tuple(slugs), n_buckets)
+    # callers that already walked the tree pass the fingerprint down —
+    # one stat-walk per call, not two
+    fp = fingerprint or caches.path_fingerprint(path)
+    ck = (path, fp, tuple(slugs), n_buckets)
     cached = _COLLISION_CACHE.get(ck)
     if cached is not None:
         return cached
@@ -468,14 +472,15 @@ def collision_keys_ref(data_dir: str, slugs: list[str],
     num_cpus — the sequential two-pass shape is both faster at real
     parallelism and honest under resource accounting."""
     path = read_path or os.path.join(data_dir, "docs")
-    key = (path, caches.path_fingerprint(path), tuple(slugs),
+    fp = caches.path_fingerprint(path)
+    key = (path, fp, tuple(slugs),
            n_buckets, _ray_session_key() if ray.is_initialized() else None)
     if key[-1] is not None:
         ref = _COLLISION_REF_CACHE.get(key)
         if ref is not None:
             return ref
     ref = ray.put(collision_keys(data_dir, slugs, read_path=read_path,
-                                 n_buckets=n_buckets))
+                                 n_buckets=n_buckets, fingerprint=fp))
     key = key[:-1] + (_ray_session_key() if ray.is_initialized() else None,)
     if key[-1] is not None:
         _COLLISION_REF_CACHE[key] = ref

@@ -227,6 +227,11 @@ def shingle_batch(batch: pa.Table) -> pa.Table:
 def _pack_binary_i64(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """int64 row segments -> one Arrow binary column, built straight from
     buffers (no per-row ``tobytes`` loop)."""
+    if offsets[-1] * 8 > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"packed payload {offsets[-1] * 8} bytes overflows Arrow "
+            "binary int32 offsets — lower the batch size so one batch's "
+            "shingle payload stays under 2 GB")
     byte_off = (offsets.astype(np.int64) * 8).astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(offsets) - 1,
@@ -255,9 +260,16 @@ def shingle_pack_batch(batch: pa.Table) -> pa.Table:
     no extra join back to the documents table."""
     df = batch.to_pandas()
     n = len(df)
+    ids = df["doc_id"].to_numpy(np.int64)
+    if len(ids) and ids.min() < 0:
+        # the skew-cap sentinel encoding (metrics.split_cap_sentinels)
+        # reserves negative ids — fail loudly instead of silently
+        # stripping real candidates later
+        raise ValueError("negative doc_id in documents table — the dedup "
+                         "family requires non-negative int64 doc ids")
     h, offsets, sigs, sim = _shingle_core(df["text"].fillna(""))
     return pa.table({
-        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "doc_id": pa.array(ids),
         "sh": _pack_binary_i64(h.astype(np.int64), offsets),
         "mh": _pack_binary_i64(sigs.reshape(-1).astype(np.int64),
                                np.arange(0, (n + 1) * N_PERM, N_PERM)),
@@ -272,6 +284,18 @@ _SHINGLE_CKPT: dict = caches.register({})
 #: so an old-schema checkpoint can never be served for new code.
 _CKPT_VERSION = 2
 
+#: on-disk checkpoint dirs this process created/reused; the purger deletes
+#: them when a caller demands genuinely cold runs.
+_CKPT_DIRS: set = set()
+
+
+@caches.register_purger
+def _purge_shingle_checkpoints() -> None:
+    import shutil
+    for d in list(_CKPT_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+    _CKPT_DIRS.clear()
+
 
 def shingle_checkpoint(sf_dir: str) -> str:
     """ONE shingle pass per corpus, checkpointed to parquet and shared by
@@ -280,10 +304,15 @@ def shingle_checkpoint(sf_dir: str) -> str:
     shingled exactly once per input fingerprint (VERDICT r2 #3).
 
     The checkpoint doubles as the resume point: a re-run over the same
-    (fingerprinted) input skips straight to candidate generation.  Root
-    dir comes from ``$OSMLINT_CKPT_DIR``; the local-tmp default is the
-    single-node mode — on a multi-node cluster point it at a shared
-    filesystem / object-store URI so every worker sees all blocks."""
+    (fingerprinted) input skips straight to candidate generation —
+    including across ``clear_caches()``, which only drops the in-memory
+    key map (reusing a content-fingerprinted checkpoint is correct, not a
+    warm-cache artifact; benchmarks needing a genuinely cold shingle pass
+    call ``clear_caches(purge_disk=True)``, which deletes the dirs via
+    the registered purger).  Root dir comes from ``$OSMLINT_CKPT_DIR``;
+    the local-tmp default is the single-node mode — on a multi-node
+    cluster point it at a shared filesystem / object-store URI so every
+    worker sees all blocks."""
     import hashlib as _hl
     import tempfile
     path = os.path.join(sf_dir, "documents.parquet")
@@ -303,6 +332,7 @@ def shingle_checkpoint(sf_dir: str) -> str:
             shingle_pack_batch, batch_format="pyarrow").write_parquet(out)
         open(os.path.join(out, "_SUCCESS"), "w").close()
     _SHINGLE_CKPT[key] = out
+    _CKPT_DIRS.add(out)
     return out
 
 
@@ -380,12 +410,12 @@ def _verify_jaccard_ds(cand: rd.Dataset, packed: rd.Dataset, tau: float,
     Returns the verified-pair Dataset (``doc_a, doc_b, jaccard``), or
     ``None`` for an empty candidate set (downstream consumers like
     ``dedup_clusters`` keep streaming — no driver round-trip)."""
-    # Ray's join aggregator builds a zero-column table for any partition
-    # that received NO left rows and acero then rejects the key ref — so
-    # (a) bail on an empty candidate set, (b) scale partition count with
-    # candidate volume (>=256 expected rows per partition) so no
-    # partition can come up empty at small scale; cand is materialized,
-    # so count() is free
+    # Ray's join finalizer crashes on an EMPTY left dataset (verified:
+    # empty partitions within a non-empty join are fine, including
+    # all-rows-on-one-hub-key), so bail on zero candidates; scaling the
+    # partition count with candidate volume is a small-scale perf choice
+    # (fewer shuffle actors for tiny sets), not a correctness guard.
+    # cand is materialized, so count() is free.
     n_cand = cand.count()
     if n_cand == 0:
         return None
@@ -971,6 +1001,11 @@ SAMPLE_DEFAULT_RATE = 0.2
 
 
 def _rate_hex(rate: float) -> str:
+    if rate >= 1.0:
+        # 'g' > every hex digit, so `h8 < 'g'` keeps ALL docs; the naive
+        # format would emit the 9-char '100000000' and the fixed-width
+        # lexicographic comparison would collapse to ~6% kept
+        return "g"
     return format(int(rate * (1 << 32)), "08x")
 
 

@@ -352,3 +352,39 @@ def test_tfidf_keywords_hapax_pruned_and_ranked(tmp_path, ray_session):
     # ranks are 1..top per doc
     assert (out.groupby("doc_id")["rank"].min() == 1).all()
     assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+def test_distributed_cc_nonconvergence_is_loud(ray_session, caplog):
+    """max_rounds too small for a chain: labels are an over-segmentation,
+    and the truncation must be surfaced (warning + LAST_INFO)."""
+    import logging
+    chain = pd.DataFrame({"doc_a": np.arange(0, 12),
+                          "doc_b": np.arange(1, 13)})
+    with caplog.at_level(logging.WARNING, logger="osmlint.graph"):
+        graph.cluster_labels(rd.from_pandas(chain), small_threshold=0,
+                             max_rounds=1)
+    assert graph.LAST_INFO == {"rounds": 1, "converged": False}
+    assert any("did NOT converge" in r.message for r in caplog.records)
+    # and with enough rounds the same graph converges
+    out = graph.cluster_labels(rd.from_pandas(chain), small_threshold=0)
+    assert graph.LAST_INFO["converged"]
+    assert (out["cluster_id"] == 0).all()
+
+
+def test_negative_doc_id_rejected_loudly(tmp_path, ray_session):
+    d = str(tmp_path)
+    df = pd.DataFrame({"doc_id": np.array([-1, 2], dtype=np.int64),
+                       "text": ["a b c", "d e f"], "lang": "en",
+                       "source": "s", "n_chars": [5, 5]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    with pytest.raises(Exception, match="negative doc_id"):
+        textops.minhash_dup_pairs(d)
+
+
+def test_sample_rate_one_keeps_everything(ray_session):
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("no driver data")
+    s = textops.corpus_sample(sf, rates={}, default_rate=1.0)
+    assert len(s) == 500                      # every doc retained

@@ -222,3 +222,14 @@ def test_cosine_lsh_oracle_gate_driver_tables(ray_session):
     ex = ann.cosine_pairs(DRIVER_SF, tau=COS_TAU)
     pd.testing.assert_frame_equal(lsh.reset_index(drop=True),
                                   ex.reset_index(drop=True))
+
+
+def test_purge_disk_removes_shingle_checkpoint(hot_doc_dir):
+    p1 = textops.shingle_checkpoint(hot_doc_dir)
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    caches.clear_caches()                    # in-memory only: dir survives
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    caches.clear_caches(purge_disk=True)     # purger deletes the dir
+    assert not os.path.exists(p1)
+    p2 = textops.shingle_checkpoint(hot_doc_dir)   # rebuilds cleanly
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
