@@ -367,6 +367,40 @@ SELECT doc_id, n_tokens, bpe_tokens, punct_cnt, stop_cnt,
   md5(tx) AS fingerprint
 FROM c ORDER BY doc_id"""
 
+def lang_id_sql() -> str:
+    """Trigram-profile language ID: enumerate every character position,
+    join the trigram starting there against the SAME profile table the
+    Ray kernel uses (``textops.LANG_PROFILES``, rendered as VALUES), sum
+    matches per language, keep the best (score DESC, lang ASC — the
+    kernel's first-argmax over lang-sorted columns).  Position
+    enumeration counts OVERLAPPING occurrences, matching the kernel's
+    zero-width-lookahead counting."""
+    from .textops import LANG_PROFILES
+    rows = ",".join(f"({q(lang)},{q(g)})"
+                    for lang in sorted(LANG_PROFILES)
+                    for g in LANG_PROFILES[lang])
+    return f"""
+WITH t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS tx FROM documents
+), tg AS (
+  SELECT doc_id, substr(tx, CAST(i AS BIGINT) + 1, 3) AS g
+  FROM t, unnest(range(greatest(length(tx) - 2, 0))) AS u(i)
+), prof(lang, g) AS (VALUES {rows}),
+sc AS (
+  SELECT tg.doc_id, prof.lang, CAST(count(*) AS BIGINT) AS score
+  FROM tg JOIN prof ON prof.g = tg.g GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM sc
+)
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id"""
+
+
 DEDUP_EXACT_SQL = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_copies

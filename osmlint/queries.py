@@ -120,6 +120,11 @@ def text_stats(sf_dir: str):
     return textops.text_stats(sf_dir)
 
 
+def lang_id(sf_dir: str):
+    from . import textops
+    return textops.lang_id(sf_dir)
+
+
 def dedup_exact(sf_dir: str):
     from . import textops
     return textops.dedup_exact(sf_dir)
@@ -345,6 +350,7 @@ def ray_queries() -> dict:
         "cell_index": cell_index,
         "knn_dup_names": knn_dup_names,
         "text_stats": text_stats,
+        "lang_id": lang_id,
         "dedup_exact": dedup_exact,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
@@ -413,6 +419,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "knn_dup_names": oracle_sql.knn_dup_names_sql(
             d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
         "text_stats": oracle_sql.TEXT_STATS_SQL,
+        "lang_id": oracle_sql.lang_id_sql(),
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard

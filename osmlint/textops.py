@@ -99,6 +99,71 @@ def text_stats(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# language-ID: character-trigram profile classifier
+# ---------------------------------------------------------------------------
+
+#: Per-language character-trigram profiles (the classic rank-profile
+#: heuristic, Cavnar & Trenkle '94 shape, unit weights).  ONE source of
+#: truth — ``oracle_sql.lang_id_sql`` renders the same table as SQL
+#: VALUES, so the Ray kernel and the DuckDB oracle can never drift.
+#: ASCII-only trigrams: DuckDB ``substr``/``lower`` and Python slicing
+#: agree byte-for-byte on ASCII, so no Unicode normalization edge cases.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "ein", "ich", "sch", "che", "die", "und", "ung",
+           "gen", "cht"),
+    "en": ("the", " th", "he ", "ing", "and", " an", "ion", " of",
+           "of ", "ed "),
+    "es": ("que", " qu", "ado", "los", " lo", "nte", "omo", "par",
+           "ien", "aci"),
+    "fr": ("les", "ent", " le", "ais", "eur", "oui", "ons", "ait",
+           "une", "aux"),
+    "sr": (" je", "je ", "ije", " na", "na ", "ost", " po", " da",
+           "da ", "koj"),
+}
+
+#: tie-break order: score desc, then lang ASC — numpy ``argmax`` returns
+#: the first maximum, so columns are laid out in sorted-lang order.
+_LANG_ORDER = sorted(LANG_PROFILES)
+_TRIGRAM_LANGS: dict[str, list[int]] = {}
+for _li, _lang in enumerate(_LANG_ORDER):
+    for _g in LANG_PROFILES[_lang]:
+        _TRIGRAM_LANGS.setdefault(_g, []).append(_li)
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized trigram-profile language ID.  Counts OVERLAPPING
+    occurrences of each profile trigram (zero-width lookahead, so "aaa"
+    scores twice in "aaaa" — matching the SQL position-enumeration
+    oracle), sums per language, and picks the best score; zero matches
+    anywhere -> ``unknown``."""
+    import re
+    df = batch.to_pandas()
+    tx = df["text"].fillna("").str.lower()
+    scores = np.zeros((len(df), len(_LANG_ORDER)), dtype=np.int64)
+    for g, lang_idxs in _TRIGRAM_LANGS.items():
+        c = tx.str.count("(?=" + re.escape(g) + ")").to_numpy(np.int64)
+        for li in lang_idxs:
+            scores[:, li] += c
+    best = scores.argmax(axis=1)
+    top = scores[np.arange(len(df)), best]
+    pred = np.where(top > 0,
+                    np.array(_LANG_ORDER, dtype=object)[best], "unknown")
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+        "lang_pred": pa.array(pred, type=pa.string()),
+        "score": pa.array(top),
+    })
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Per-doc n-gram language ID over the documents table.  Stateless
+    vectorized map_batches — streams at any scale; the profile table is
+    a module constant compiled into every worker once."""
+    return read_docs(sf_dir).map_batches(langid_batch,
+                                         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 

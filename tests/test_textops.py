@@ -136,3 +136,73 @@ def test_simhash_dup_pairs(doc_dir):
             if h <= 3:
                 exp[(a, b)] = h
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# language-ID (trigram profiles)
+# ---------------------------------------------------------------------------
+
+def test_lang_id_real_language_snippets(tmp_path, ray_session):
+    d = str(tmp_path)
+    rows = [
+        (0, "The weather was fine and the children were playing in the "
+            "garden of the old house", "en"),
+        (1, "Ich habe einen schoenen Tag in der Stadt verbracht und die "
+            "Sonne schien ueber dem Fluss", "de"),
+        (2, "Les enfants jouaient dans les jardins et la lumiere du soir "
+            "tombait sur les toits de la ville", "fr"),
+        (3, "Los ninos estaban jugando en el parque como siempre y que "
+            "bien lo pasaron aquella tarde", "es"),
+        (4, "Deca su se igrala u parku i bilo je lepo vreme da se ostane "
+            "napolju jer je sunce sijalo ceo dan", "sr"),
+        (5, "", "unknown"),                       # empty -> no trigrams
+        (6, "zq", "unknown"),                     # shorter than a trigram
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "expect"])
+    df["lang"] = "xx"
+    df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(
+        pa.Table.from_pandas(df[["doc_id", "text", "lang", "source",
+                                 "n_chars"]], preserve_index=False),
+        os.path.join(d, "documents.parquet"))
+    out = textops.lang_id(d).to_pandas().set_index("doc_id")
+    for _, r in df.iterrows():
+        assert out.loc[r.doc_id, "lang_pred"] == r.expect, r.text
+    assert (out.loc[[5, 6], "score"] == 0).all()
+    assert (out.loc[[0, 1, 2, 3, 4], "score"] > 0).all()
+
+
+def test_lang_id_overlap_counting_and_tiebreak():
+    # overlapping occurrences both count: "ij(e)ije" has "ije" at 2 offsets
+    b = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["ijeije", "der les"]),
+                  "lang": pa.array(["x", "x"]),
+                  "source": pa.array(["s", "s"]),
+                  "n_chars": pa.array([6, 7], type=pa.int64())})
+    out = textops.langid_batch(b).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "sr"
+    assert out.loc[0, "score"] == 2              # "ije" at offsets 0 and 3
+    # "der les" scores de=1 ("der") and fr=2 ("les" + " le") -> fr wins;
+    # swap to equal evidence and the tie breaks lexicographically
+    assert out.loc[1, "lang_pred"] == "fr"
+    b2 = pa.table({"doc_id": pa.array([2], type=pa.int64()),
+                   "text": pa.array(["derles"]),   # de=1 ("der"), fr=1 ("les")
+                   "lang": pa.array(["x"]), "source": pa.array(["s"]),
+                   "n_chars": pa.array([6], type=pa.int64())})
+    out2 = textops.langid_batch(b2).to_pandas()
+    assert out2.loc[0, "lang_pred"] == "de"      # tie -> lang asc
+
+
+def test_lang_id_matches_duckdb_oracle(doc_dir, ray_session):
+    import duckdb
+    from osmlint import oracle_sql
+    ray_df = (textops.lang_id(doc_dir).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(doc_dir, 'documents.parquet')}')")
+    sql_df = con.execute(oracle_sql.lang_id_sql()).df()
+    sql_df["doc_id"] = sql_df["doc_id"].astype(np.int64)
+    sql_df["score"] = sql_df["score"].astype(np.int64)
+    pd.testing.assert_frame_equal(ray_df, sql_df)
