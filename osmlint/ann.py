@@ -35,9 +35,19 @@ def _split_cap_sentinels(cand: rd.Dataset, query: str,
                                _PAIR_SCHEMA)
 
 
-def read_embeddings(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+def read_embeddings(sf_dir: str, *, coalesce: bool = False) -> rd.Dataset:
+    """``coalesce=True`` sizes read blocks by bytes (~128 MB each, the
+    Ray default target) instead of letting tiny files split to
+    parallelism.  Sort-based consumers (IVF's groupby) use it: sort
+    output partitioning follows input block count, and a tiny input
+    split into #CPU blocks yields empty zero-schema sort partitions
+    (cosmetic executor warnings).  At scale byte-sizing converges to the
+    default — never fewer blocks than the data needs."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    kw = {}
+    if coalesce:
+        kw["override_num_blocks"] = max(1, os.path.getsize(path) >> 27)
+    return rd.read_parquet(path, columns=["vec_id", "embedding"], **kw)
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -377,7 +387,8 @@ def topk_neighbors_ivf(sf_dir: str, k: int = 5, n_queries: int = 4,
                          "sim": pa.array(np.concatenate(out_s),
                                          type=pa.float64())})
 
-    ds = read_embeddings(sf_dir).map_batches(route, batch_format="pyarrow")
+    ds = read_embeddings(sf_dir, coalesce=True) \
+        .map_batches(route, batch_format="pyarrow")
     parts = ds.groupby("list").map_groups(search, batch_format="pandas") \
         .to_pandas()
     if parts.empty:
