@@ -1042,6 +1042,42 @@ ORDER BY n DESC, token
 LIMIT {k}"""
 
 
+def unigram_logprob_sql(v: int) -> str:
+    """Per-doc average negative log-likelihood under the corpus unigram
+    distribution: model = top-``v`` tokens by (count DESC, token ASC)
+    with an out-of-vocab floor of count 1; N is the EXACT total token
+    count over the whole corpus (not just the kept vocabulary).  avg_nll
+    is rounded to 6 dp with floor(x+0.5) exactly like the Ray kernel —
+    summation-order ulps can't flip the hash."""
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS big_n FROM cnt
+), vocab AS (
+  SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT {v}
+), sc AS (
+  SELECT tok.doc_id,
+         sum(ln((SELECT greatest(big_n, 1) FROM tot))
+             - ln(CAST(coalesce(vocab.n, 1) AS DOUBLE))) AS s,
+         CAST(count(*) AS BIGINT) AS m
+  FROM tok LEFT JOIN vocab ON vocab.token = tok.token
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.m, 0) AS n_tokens,
+       floor(coalesce(sc.s / sc.m, 0.0) * 1000000 + 0.5) / 1000000
+         AS avg_nll
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def corpus_split_sql(train_hex: str, val_hex: str) -> str:
     """Deterministic 80/10/10 split: first 8 md5 hex chars of the decimal
     doc_id, compared lexicographically (fixed-width lowercase hex orders

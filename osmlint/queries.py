@@ -125,6 +125,11 @@ def lang_id(sf_dir: str):
     return textops.lang_id(sf_dir)
 
 
+def unigram_logprob(sf_dir: str):
+    from . import textops
+    return textops.unigram_logprob(sf_dir)
+
+
 def dedup_exact(sf_dir: str):
     from . import textops
     return textops.dedup_exact(sf_dir)
@@ -351,6 +356,7 @@ def ray_queries() -> dict:
         "knn_dup_names": knn_dup_names,
         "text_stats": text_stats,
         "lang_id": lang_id,
+        "unigram_logprob": unigram_logprob,
         "dedup_exact": dedup_exact,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
@@ -420,6 +426,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
         "text_stats": oracle_sql.TEXT_STATS_SQL,
         "lang_id": oracle_sql.lang_id_sql(),
+        "unigram_logprob": oracle_sql.unigram_logprob_sql(
+            _textops().LOGPROB_VOCAB),
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard

@@ -829,6 +829,83 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unigram language-model scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+#: model vocabulary cap: the broadcast side is AT MOST this many rows no
+#: matter the corpus size (out-of-vocab tokens score at the 1/N floor),
+#: so the two-pass shape stays broadcast-join, never a shuffle join.
+LOGPROB_VOCAB = 1 << 16
+
+
+def unigram_logprob(sf_dir: str, v: int = LOGPROB_VOCAB) -> rd.Dataset:
+    """Per-doc average negative log-likelihood under the corpus's own
+    unigram distribution — the classic cheap "perplexity" quality signal
+    (high avg_nll = rare-token soup, low = common-token text).
+
+    Two passes, both streaming:
+    1. model build: per-batch token-count partials -> distributed
+       ``groupby(token).sum`` (the shuffle moves one row per DISTINCT
+       token per block); the exact total N is a distributed ``sum`` over
+       the FULL count table, then per-block top-``v`` pruning + sort
+       bounds the driver pull to the model vocabulary (<= ``v`` rows,
+       deterministic n-desc/token-asc tie-break).  ``ray.put`` once.
+    2. scoring: vectorized map_batches — explode tokens, hash-map to
+       counts (OOV -> count 1, the 1/N floor), ``nll = ln N - ln n``,
+       segment-sum per doc.  avg_nll is rounded to 6 dp with the
+       floor(x+0.5) convention on BOTH sides (absorbs summation-order
+       ulps; numpy round is banker's, DuckDB's is half-away)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (batch["text"].to_pandas().fillna("")
+                .str.lower().str.split().explode().dropna())
+        vc = toks.value_counts()
+        return pa.table({"token": pa.array(vc.index.astype(str),
+                                           type=pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas() \
+            .sort_values(["n", "token"], ascending=[False, True]).head(v)
+        return pa.table({"token": pa.array(df["token"].astype(str),
+                                           type=pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64))})
+
+    counts = (rd.read_parquet(src, columns=["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n"))
+              .materialize())        # reused by the total AND the top-v
+    total_n = int(counts.sum("n") or 0)
+    vocab = (counts.map_batches(prune, batch_format="pyarrow")
+             .sort(["n", "token"], descending=[True, False])
+             .limit(v).to_pandas())
+    model_ref = ray.put(dict(zip(vocab["token"],
+                                 vocab["n"].to_numpy(np.float64))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = ray.get(model_ref)
+        df = batch.to_pandas()
+        toks = df["text"].fillna("").str.lower().str.split()
+        n_tok = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()             # empty docs drop out here
+        cnt = ex.map(model).fillna(1.0).to_numpy(np.float64)
+        nll = np.log(float(max(total_n, 1))) - np.log(cnt)
+        sums = pd.Series(nll, index=ex.index).groupby(level=0).sum() \
+            .reindex(range(len(df)), fill_value=0.0).to_numpy(np.float64)
+        avg = np.where(n_tok > 0, sums / np.maximum(n_tok, 1), 0.0)
+        avg = np.floor(avg * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "avg_nll": pa.array(avg),
+        })
+
+    return rd.read_parquet(src, columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # deterministic train/val/test split (80/10/10 by doc_id hash)
 # ---------------------------------------------------------------------------
 

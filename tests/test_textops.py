@@ -206,3 +206,51 @@ def test_lang_id_matches_duckdb_oracle(doc_dir, ray_session):
     sql_df["doc_id"] = sql_df["doc_id"].astype(np.int64)
     sql_df["score"] = sql_df["score"].astype(np.int64)
     pd.testing.assert_frame_equal(ray_df, sql_df)
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_signal_and_edges(tmp_path, ray_session):
+    d = str(tmp_path)
+    common = "alpha " * 50               # one very common token
+    rare = "zeta omega sigma kappa "     # tokens seen once each
+    rows = [(0, common.strip()), (1, (common + rare).strip()),
+            (2, rare.strip()), (3, "")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"; df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.unigram_logprob(d).to_pandas().set_index("doc_id")
+    # rare-token soup scores strictly worse (higher NLL) than common text
+    assert out.loc[0, "avg_nll"] < out.loc[1, "avg_nll"] \
+        < out.loc[2, "avg_nll"]
+    # empty doc: zero tokens, zero score
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "avg_nll"] == 0.0
+    # exact value for the pure-common doc: -ln(p) = ln(N/n_alpha)
+    n_total = 100 + 8                     # 50+54 alphas... recompute below
+    n_alpha = 50 + 50
+    n_total = n_alpha + 8
+    import math
+    expect = math.floor(math.log(n_total / n_alpha) * 1e6 + 0.5) / 1e6
+    assert out.loc[0, "avg_nll"] == expect
+
+
+def test_unigram_logprob_oov_floor(tmp_path, ray_session):
+    """v=1 keeps only the top token: everything else hits the 1/N floor,
+    scoring ln(N) regardless of its true frequency."""
+    d = str(tmp_path)
+    rows = [(0, "a a a a"), (1, "b b b"), (2, "c")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"; df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.unigram_logprob(d, v=1).to_pandas().set_index("doc_id")
+    import math
+    ln_n = math.floor(math.log(8) * 1e6 + 0.5) / 1e6
+    assert out.loc[1, "avg_nll"] == ln_n     # OOV b: count floor 1
+    assert out.loc[2, "avg_nll"] == ln_n     # OOV c: same floor
+    assert out.loc[0, "avg_nll"] < ln_n      # in-vocab a: true p=4/8
