@@ -1042,6 +1042,41 @@ ORDER BY n DESC, token
 LIMIT {k}"""
 
 
+def winnow_sql(k: int, w: int, base: int = 131,
+               modulus: int = 1 << 32) -> str:
+    """Winnowing fingerprints, position-enumerated: the rolling
+    polynomial hash is re-derived per k-gram position as an explicit
+    k-term sum (code point % 256, base^((k-1)-j)), every window of ``w``
+    consecutive positions (plus the whole-sequence window when a doc has
+    fewer than ``w`` k-grams) picks its rightmost minimum via
+    row_number, and the distinct selections are the fingerprint set.
+    255 * base^(k-1) * k stays under 2^63 so the BIGINT sum is exact."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(tx, CAST(i AS BIGINT) + {j + 1}, 1)) % 256 "
+        f"AS BIGINT) * CAST({base ** (k - 1 - j)} AS BIGINT)"
+        for j in range(k))
+    return f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS tx FROM documents
+), h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(length(tx) AS BIGINT) - {k} + 1 AS m,
+         ({terms}) % {modulus} AS fp
+  FROM t, unnest(range(greatest(length(tx) - {k} + 1, 0))) AS u(i)
+), wins AS (
+  SELECT doc_id, i AS t FROM h WHERE i >= {w} - 1 OR i = m - 1
+), cand AS (
+  SELECT wins.doc_id, wins.t, h.i, h.fp,
+         row_number() OVER (PARTITION BY wins.doc_id, wins.t
+                            ORDER BY h.fp ASC, h.i DESC) AS rn
+  FROM wins JOIN h ON h.doc_id = wins.doc_id
+        AND h.i BETWEEN greatest(wins.t - {w} + 1, 0) AND wins.t
+)
+SELECT DISTINCT doc_id, i AS pos, fp
+FROM cand WHERE rn = 1
+ORDER BY doc_id, pos"""
+
+
 def unigram_logprob_sql(v: int) -> str:
     """Per-doc average negative log-likelihood under the corpus unigram
     distribution: model = top-``v`` tokens by (count DESC, token ASC)

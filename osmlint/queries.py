@@ -130,6 +130,11 @@ def unigram_logprob(sf_dir: str):
     return textops.unigram_logprob(sf_dir)
 
 
+def winnow_fingerprints(sf_dir: str):
+    from . import textops
+    return textops.winnow_fingerprints(sf_dir)
+
+
 def dedup_exact(sf_dir: str):
     from . import textops
     return textops.dedup_exact(sf_dir)
@@ -357,6 +362,7 @@ def ray_queries() -> dict:
         "text_stats": text_stats,
         "lang_id": lang_id,
         "unigram_logprob": unigram_logprob,
+        "winnow_fingerprints": winnow_fingerprints,
         "dedup_exact": dedup_exact,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
@@ -428,6 +434,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_id": oracle_sql.lang_id_sql(),
         "unigram_logprob": oracle_sql.unigram_logprob_sql(
             _textops().LOGPROB_VOCAB),
+        "winnow_fingerprints": oracle_sql.winnow_sql(
+            _textops().WINNOW_K, _textops().WINNOW_W),
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard

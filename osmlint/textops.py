@@ -829,6 +829,88 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash copy detection, MOSS scheme)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8                 # k-gram length (characters)
+WINNOW_W = 4                 # winnowing window (k-gram positions)
+_WINNOW_B = np.uint64(131)   # polynomial base; 255 * 131^7 * 8 < 2^63, so
+                             # the SQL oracle's BIGINT sum can't overflow
+_WINNOW_M = np.uint64(0xFFFFFFFF)          # hash modulus 2^32 (mask)
+_WINNOW_POWS = (np.uint64(131) **
+                np.arange(WINNOW_K - 1, -1, -1).astype(np.uint64))
+_KEY_SHIFT = np.uint64(1 << 30)            # pos tie-break packed below hash
+
+
+def winnow_batch(batch: pa.Table, k: int = WINNOW_K,
+                 w: int = WINNOW_W) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    rolling polynomial hash over character k-grams (code points & 255,
+    base 131, mod 2^32), then every window of ``w`` consecutive k-gram
+    hashes selects its RIGHTMOST minimum; the distinct selected
+    ``(pos, fp)`` pairs are the document's fingerprint set.  Guarantees
+    at least one shared fingerprint for any common substring of length
+    >= k + w - 1 — the copy-detection property.
+
+    The hash is vectorized (k shifted multiply-adds over the code-point
+    array) and window selection is a sliding-window min over hash
+    packed with the negated position (rightmost tie-break in ONE
+    reduction); the outer per-doc loop only sequences numpy kernels
+    (same precedent as the per-row md5 in ``stats_batch``).  Docs
+    shorter than k chars yield no fingerprints; docs with fewer than
+    ``w`` k-grams use one whole-sequence window."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    df = batch.to_pandas()
+    out_d, out_p, out_h = [], [], []
+    for did, tx in zip(df["doc_id"].to_numpy(np.int64),
+                       df["text"].fillna("")):
+        cp = np.frombuffer(tx.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.uint64) & np.uint64(255)
+        m = len(cp) - k + 1
+        if m <= 0:
+            continue
+        if m >= int(_KEY_SHIFT):
+            raise ValueError("winnow_batch: doc longer than 2^30 chars — "
+                             "the packed tie-break key would collide")
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h += _WINNOW_POWS[j] * cp[j:j + m]
+        h &= _WINNOW_M
+        key = h * _KEY_SHIFT + (_KEY_SHIFT - np.uint64(1)
+                                - np.arange(m, dtype=np.uint64))
+        if m <= w:
+            kmin = key.min(keepdims=True)
+        else:
+            kmin = sliding_window_view(key, w).min(axis=1)
+        pos = np.unique((_KEY_SHIFT - np.uint64(1)
+                         - (kmin % _KEY_SHIFT)).astype(np.int64))
+        out_d.append(np.full(len(pos), did, dtype=np.int64))
+        out_p.append(pos)
+        out_h.append(h[pos].astype(np.int64))
+    if not out_d:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "pos": pa.array([], type=pa.int64()),
+                         "fp": pa.array([], type=pa.int64())})
+    return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
+                     "pos": pa.array(np.concatenate(out_p)),
+                     "fp": pa.array(np.concatenate(out_h))})
+
+
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Per-doc winnowing fingerprint sets over the documents table —
+    stateless vectorized map_batches, streams at any scale.  Downstream
+    copy detection is a fingerprint-keyed groupby (fp is 4 bytes; the
+    shuffle never moves text).  The read prunes to (doc_id, text) and
+    sizes blocks by bytes (~128 MB) — tiny inputs split to #CPU blocks
+    yield zero-row bundles that trip the executor's schema tracker."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    return rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=max(1, os.path.getsize(path) >> 27),
+    ).map_batches(winnow_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # unigram language-model scoring (perplexity-style quality signal)
 # ---------------------------------------------------------------------------
 

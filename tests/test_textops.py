@@ -254,3 +254,68 @@ def test_unigram_logprob_oov_floor(tmp_path, ray_session):
     assert out.loc[1, "avg_nll"] == ln_n     # OOV b: count floor 1
     assert out.loc[2, "avg_nll"] == ln_n     # OOV c: same floor
     assert out.loc[0, "avg_nll"] < ln_n      # in-vocab a: true p=4/8
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash)
+# ---------------------------------------------------------------------------
+
+def _winnow_df(rows, tmp):
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"; df["source"] = "s"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp, "documents.parquet"))
+    return textops.winnow_fingerprints(tmp).to_pandas()
+
+
+def test_winnow_properties(tmp_path, ray_session):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    shared = "this exact shared passage is long enough to guarantee overlap"
+    rows = [(0, base), (1, base),                       # identical docs
+            (2, "AAA " + shared + " BBB"),              # share `shared`
+            (3, "xyz " + shared + " qrs"),
+            (4, "tiny"),                                # < k chars: no fps
+            (5, "exactly8")]                            # == k: one fp, pos 0
+    out = _winnow_df(rows, str(tmp_path))
+    g = {d: set(map(tuple, v[["pos", "fp"]].to_numpy()))
+         for d, v in out.groupby("doc_id")}
+    assert g[0] == g[1]                                 # determinism
+    # copy detection: common substring >= k+w-1 shares >=1 fingerprint VALUE
+    assert set(out[out.doc_id == 2].fp) & set(out[out.doc_id == 3].fp)
+    assert 4 not in g                                   # too short
+    assert g[5] == {(0, out[out.doc_id == 5].fp.iat[0])}
+    # winnowing density guarantee: consecutive selected positions within
+    # a doc are at most w apart (every window selects something)
+    for d, v in out.groupby("doc_id"):
+        p = np.sort(v["pos"].to_numpy())
+        assert (np.diff(p) <= textops.WINNOW_W).all()
+        assert (v["fp"] >= 0).all() and (v["fp"] < (1 << 32)).all()
+
+
+def test_winnow_rightmost_tie_and_oracle(tmp_path, ray_session):
+    # constant text: every k-gram hashes identically, so every window's
+    # rightmost-min is its own END position -> every t in [w-1, m-1]
+    rows = [(0, "a" * 20)]
+    out = _winnow_df(rows, str(tmp_path))
+    m = 20 - textops.WINNOW_K + 1                       # 13 k-gram positions
+    w = textops.WINNOW_W
+    assert sorted(out["pos"]) == list(range(w - 1, m))
+    # and the DuckDB oracle agrees on an adversarial mixed fixture
+    # (repetitive text, empty doc, non-ASCII code points)
+    import duckdb
+    from osmlint import oracle_sql
+    d2 = os.path.join(str(tmp_path), "w2")
+    os.makedirs(d2, exist_ok=True)
+    rows = [(0, "a" * 20), (1, "abcabcabcabcabc"), (2, ""),
+            (3, "unicode: \u0107\u0446\u4e2d text here")]
+    ray_df = _winnow_df(rows, d2) \
+        .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{os.path.join(d2, 'documents.parquet')}')")
+    sql_df = con.execute(oracle_sql.winnow_sql(
+        textops.WINNOW_K, textops.WINNOW_W)).df()
+    for c in sql_df.columns:
+        sql_df[c] = sql_df[c].astype(np.int64)
+    pd.testing.assert_frame_equal(ray_df, sql_df)
