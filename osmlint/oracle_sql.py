@@ -1350,3 +1350,41 @@ scored AS (
 )
 SELECT doc_id, token, s AS tfidf, CAST(r AS BIGINT) AS rank
 FROM ranked WHERE r <= {top} ORDER BY doc_id, rank"""
+
+
+def dup_spans_sql(k: int) -> str:
+    """Cross-document duplicated k-gram spans: grams grouped by STRING
+    (the ground truth the Ray side's 128-bit blake2b keys stand in for),
+    duplicated iff min(doc_id) <> max(doc_id); interval union via the
+    classic gaps-and-islands window (equal-length intervals sorted by
+    start ⇒ running max-end = lag(pos) + k)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i + {k - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), spans AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM flagged
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {k} AS span_end,
+       max(pos) + {k} - min(pos) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM spans GROUP BY doc_id, sid ORDER BY doc_id, span_start"""

@@ -140,6 +140,11 @@ def dedup_exact(sf_dir: str):
     return textops.dedup_exact(sf_dir)
 
 
+def dup_spans(sf_dir: str):
+    from . import textops
+    return textops.dup_spans(sf_dir)
+
+
 def simhash_docs(sf_dir: str):
     from . import textops
     return textops.simhash_docs(sf_dir)
@@ -364,6 +369,7 @@ def ray_queries() -> dict:
         "unigram_logprob": unigram_logprob,
         "winnow_fingerprints": winnow_fingerprints,
         "dedup_exact": dedup_exact,
+        "dup_spans": dup_spans,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -437,6 +443,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "winnow_fingerprints": oracle_sql.winnow_sql(
             _textops().WINNOW_K, _textops().WINNOW_W),
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
+        # grams grouped by STRING in SQL vs 128-bit blake2b keys in Ray —
+        # equality is the collision-safety check itself
+        "dup_spans": oracle_sql.dup_spans_sql(_textops().DUPSPAN_K),
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard
         "dedup_ngram_jaccard": oracle_sql.ngram_jaccard_sql(0.3),

@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from . import caches
 from .metrics import split_cap_sentinels
@@ -1504,3 +1504,203 @@ def tfidf_keywords(sf_dir: str, top: int = TFIDF_TOP,
 
     df = docs.map_batches(score, batch_format="pyarrow").to_pandas()
     return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level dedup: cross-document duplicated k-gram spans
+# ---------------------------------------------------------------------------
+
+#: word-k-gram width for duplicated-span mining (Lee et al., "Deduplicating
+#: Training Data Makes Language Models Better", ACL'22, uses 50 BPE tokens;
+#: 5 words fits the driver corpus' short documents while keeping the same
+#: pipeline shape).
+DUPSPAN_K = 5
+
+#: broadcast guard: above this many duplicated grams the dup-key set is
+#: joined distributively instead of shipped to every worker via ray.put.
+DUPSPAN_BROADCAST_MAX = 4_000_000
+
+_DUPSPAN_CKPT: dict = caches.register({})
+_DUPSPAN_CKPT_VERSION = 1
+
+
+def dupspan_postings_batch(batch: pa.Table, k: int = DUPSPAN_K) -> pa.Table:
+    """doc -> one posting per word-k-gram OCCURRENCE: (h1, h2, doc_id, pos).
+
+    The key is the 128-bit blake2b of the gram string split into two int64
+    columns — collision-safe at corpus scale (a 64-bit key would mark
+    ~n^2/2^65 false duplicate spans), groupby-able without binary keys.
+    Docs shorter than k words emit nothing (no padding — a short doc has
+    no k-gram to duplicate).  Positions are 0-based token indices."""
+    df = batch.to_pandas()
+    ids = df["doc_id"].to_numpy(np.int64)
+    grams: list[str] = []
+    counts = np.zeros(len(df), dtype=np.int64)
+    for i, t in enumerate(df["text"].fillna("")):
+        toks = t.split()
+        m = len(toks) - k + 1
+        if m <= 0:
+            continue
+        grams.extend(" ".join(toks[j:j + k]) for j in range(m))
+        counts[i] = m
+    if not grams:
+        return pa.table({"h1": pa.array([], type=pa.int64()),
+                         "h2": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "pos": pa.array([], type=pa.int64())})
+    # one C-level hash per gram occurrence; everything after is columnar
+    buf = b"".join(hashlib.blake2b(g.encode("utf-8"), digest_size=16)
+                   .digest() for g in grams)
+    hh = np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
+    seg = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(grams), dtype=np.int64) - starts[seg]
+    return pa.table({"h1": pa.array(hh[:, 0].view(np.int64)),
+                     "h2": pa.array(hh[:, 1].view(np.int64)),
+                     "doc_id": pa.array(ids[seg]),
+                     "pos": pa.array(pos)})
+
+
+def dupspan_checkpoint(sf_dir: str, k: int = DUPSPAN_K) -> str:
+    """ONE tokenize+hash pass per corpus: the k-gram postings are
+    checkpointed to parquet so the two consumers (dup-key detection and
+    position join-back) each read columns off disk instead of re-running
+    the gram pass (the shingle-checkpoint rule, VERDICT r2 #3).  Same
+    root/purge contract as ``shingle_checkpoint``."""
+    import hashlib as _hl
+    import tempfile
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (path, k, _DUPSPAN_CKPT_VERSION, caches.path_fingerprint(path))
+    hit = _DUPSPAN_CKPT.get(key)
+    if hit and os.path.exists(os.path.join(hit, "_SUCCESS")):
+        return hit
+    root = os.environ.get(
+        "OSMLINT_CKPT_DIR",
+        os.path.join(tempfile.gettempdir(), "osmlint_ckpt"))
+    out = os.path.join(root,
+                       "dupspan_" + _hl.md5(repr(key).encode()).hexdigest())
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        read_docs(sf_dir).map_batches(
+            lambda b: dupspan_postings_batch(b, k),
+            batch_format="pyarrow").write_parquet(out)
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+    _DUPSPAN_CKPT[key] = out
+    _CKPT_DIRS.add(out)        # the shingle purger owns all ckpt dirs
+    return out
+
+
+def _merge_spans(g: pd.DataFrame, k: int) -> pa.Table:
+    """Vectorized interval union per bucket: sort (doc, pos), break where
+    the doc changes or the gap exceeds k (equal-length intervals sorted by
+    start ⇒ running max-end == prev_pos + k), reduce per run."""
+    d = g["doc_id"].to_numpy(np.int64)
+    p = g["pos"].to_numpy(np.int64)
+    order = np.lexsort((p, d))
+    d, p = d[order], p[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + k)
+    sid = np.flatnonzero(new)
+    last = np.r_[sid[1:] - 1, len(d) - 1]
+    start = p[new]
+    end = p[last] + k
+    return pa.table({
+        "doc_id": pa.array(d[new]),
+        "span_start": pa.array(start),
+        "span_end": pa.array(end),
+        "n_tokens": pa.array(end - start),
+        "n_grams": pa.array(np.diff(np.r_[sid, len(d)]).astype(np.int64)),
+    })
+
+
+def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
+              broadcast_max: int = DUPSPAN_BROADCAST_MAX) -> rd.Dataset:
+    """Cross-document duplicated k-gram spans (exact substring-level
+    dedup, the span-mining half of Lee et al. ACL'22): every maximal token
+    range covered by word-k-grams that occur in >= 2 DISTINCT documents.
+
+    100 TB shape: gram postings are checkpointed once (28-byte rows);
+    dup-key detection shuffles per-batch (h1, h2, min_doc, max_doc)
+    partials — a gram repeated across documents has min(doc) != max(doc),
+    so no count-distinct and no pair explosion (a gram shared by a million
+    docs costs one aggregate row, not 10^12 pairs).  The dup-key set is
+    broadcast via ray.put below ``broadcast_max`` rows and degrades to a
+    distributed hash join above; span merging buckets by doc_id % 64 so
+    each map_groups call is a vectorized run over many docs.
+    Within-doc-only repeats are NOT flagged (repetition_stats covers
+    those)."""
+    ckpt = dupspan_checkpoint(sf_dir, k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby(["h1", "h2"], sort=False)["doc_id"] \
+            .agg(["min", "max"]).reset_index()
+        return pa.table({"h1": pa.array(agg["h1"].to_numpy(np.int64)),
+                         "h2": pa.array(agg["h2"].to_numpy(np.int64)),
+                         "dmin": pa.array(agg["min"].to_numpy(np.int64)),
+                         "dmax": pa.array(agg["max"].to_numpy(np.int64))})
+
+    def crossdoc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.not_equal(batch["dmin"], batch["dmax"])) \
+            .select(["h1", "h2"])
+
+    # byte-sized read blocks: both consumers feed sort-based groupbys,
+    # whose partitioning follows input block count — tiny checkpoints
+    # split to #CPU blocks yield empty zero-schema sort partitions
+    # (the IVF read-coalescing rule); at scale this converges to Ray's
+    # ~128 MB default.
+    nb = max(1, sum(os.path.getsize(os.path.join(ckpt, f))
+                    for f in os.listdir(ckpt)) >> 27)
+    dup = rd.read_parquet(ckpt, columns=["h1", "h2", "doc_id"],
+                          override_num_blocks=nb) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["h1", "h2"]) \
+        .aggregate(Min("dmin", alias_name="dmin"),
+                   Max("dmax", alias_name="dmax")) \
+        .map_batches(crossdoc, batch_format="pyarrow") \
+        .materialize()          # bounded by duplicate-gram volume
+    posts = rd.read_parquet(ckpt, columns=["h1", "h2", "doc_id", "pos"],
+                            override_num_blocks=nb)
+    if dup.count() <= broadcast_max:
+        tbl = pa.concat_tables(
+            [b for b in dup.iter_batches(batch_format="pyarrow")]) \
+            if dup.count() else pa.schema(
+                [("h1", pa.int64()), ("h2", pa.int64())]).empty_table()
+        keys = np.ascontiguousarray(np.column_stack([
+            tbl["h1"].to_numpy(zero_copy_only=False),
+            tbl["h2"].to_numpy(zero_copy_only=False)]).astype(np.int64)) \
+            .view([("a", "<i8"), ("b", "<i8")]).ravel()
+        keys.sort()
+        keys_ref = ray.put(keys)
+
+        def hit_filter(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            if not len(ks) or not batch.num_rows:
+                return batch.select(["doc_id", "pos"]).slice(0, 0)
+            q = np.ascontiguousarray(np.column_stack([
+                batch["h1"].to_numpy(zero_copy_only=False),
+                batch["h2"].to_numpy(zero_copy_only=False)])
+                .astype(np.int64)).view([("a", "<i8"), ("b", "<i8")]).ravel()
+            idx = np.searchsorted(ks, q)
+            hit = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == q)
+            return batch.filter(pa.array(hit)).select(["doc_id", "pos"])
+
+        hits = posts.map_batches(hit_filter, batch_format="pyarrow")
+    else:
+        # join aggregators are actors: scale partitions with the posting
+        # volume (one per ~128 MB block) but never beyond what the
+        # cluster can schedule (ann.py join sizing rule)
+        n_part = max(1, min(int(ray.cluster_resources().get("CPU", 8)), nb))
+        hits = posts.join(dup, "inner", n_part, on=("h1", "h2")) \
+            .select_columns(["doc_id", "pos"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket",
+                                   pa.array(ids % 64, type=pa.int64()))
+
+    return hits.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(lambda g: _merge_spans(g, k), batch_format="pandas")

@@ -319,3 +319,75 @@ def test_winnow_rightmost_tie_and_oracle(tmp_path, ray_session):
     for c in sql_df.columns:
         sql_df[c] = sql_df[c].astype(np.int64)
     pd.testing.assert_frame_equal(ray_df, sql_df)
+
+
+# ---------------------------------------------------------------------------
+# dup_spans: cross-document duplicated k-gram spans
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("spans")
+    rows = [
+        # 8-token shared run at pos 0 (doc 1) / pos 3 (doc 2)
+        (1, "a b c d e f g h x1 y1 z1", "en", "s", 0),
+        (2, "p q r a b c d e f g h s t", "en", "s", 0),
+        # within-doc-only repeat of a 5-gram: must NOT be flagged
+        (3, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5", "en", "s", 0),
+        # shorter than k: emits no grams at all
+        (4, "tiny doc", "en", "s", 0),
+        # exact 6-token duplicates
+        (5, "e1 e2 e3 e4 e5 e6", "en", "s", 0),
+        (6, "e1 e2 e3 e4 e5 e6", "en", "s", 0),
+    ] + [(10 + i, f"unique filler {i} tokens {i*3} {i*7} {i*11} end{i}",
+          "en", "s", 0) for i in range(20)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def _spans_df(out):
+    return out.to_pandas().sort_values(["doc_id", "span_start"]) \
+        .reset_index(drop=True)
+
+
+def test_dup_spans_semantics(span_dir):
+    df = _spans_df(textops.dup_spans(span_dir))
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_grams)
+           for r in df.itertuples()}
+    assert got == {
+        (1, 0, 8, 8, 4),     # 4 shared 5-grams merged into one 8-token span
+        (2, 3, 11, 8, 4),    # same run shifted by the p/q/r prefix
+        (5, 0, 6, 6, 2),     # exact dup pair: whole doc covered
+        (6, 0, 6, 6, 2),
+    }
+    # doc 3's within-doc repeat and doc 4's short text never flagged
+    assert not set(df.doc_id) & {3, 4}
+
+
+def test_dup_spans_join_path_equality(span_dir):
+    # broadcast_max=0 forces the distributed-join fallback
+    a = _spans_df(textops.dup_spans(span_dir))
+    b = _spans_df(textops.dup_spans(span_dir, broadcast_max=0))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_spans_matches_duckdb_oracle(span_dir):
+    import duckdb
+
+    from osmlint import oracle_sql
+    df = _spans_df(textops.dup_spans(span_dir)) \
+        .astype({"doc_id": "int64", "span_start": "int64",
+                 "span_end": "int64", "n_tokens": "int64",
+                 "n_grams": "int64"})
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{span_dir}/documents.parquet')")
+    exp = con.execute(oracle_sql.dup_spans_sql(textops.DUPSPAN_K)) \
+        .fetchdf().astype({c: "int64" for c in
+                           ["doc_id", "span_start", "span_end",
+                            "n_tokens", "n_grams"]})
+    pd.testing.assert_frame_equal(df, exp.reset_index(drop=True))
