@@ -1388,3 +1388,39 @@ SELECT doc_id,
        max(pos) + {k} - min(pos) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_grams
 FROM spans GROUP BY doc_id, sid ORDER BY doc_id, span_start"""
+
+
+def pmi_bigrams_sql(top: int, min_cnt: int) -> str:
+    """Top bigrams by PMI with a support floor; the ln argument is
+    structured exactly like the numpy expression ((cxy*N*N)/(cx*cy*B))
+    and rounded to 6 decimals BEFORE ranking, so double ulps can't flip
+    the order; ties break on (w1, w2)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\s+'), x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c
+  FROM toks, unnest(t) AS u(w) GROUP BY u.w
+), big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM toks, unnest(range(1, len(t))) AS r(i) GROUP BY 1, 2
+), n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+b AS (SELECT CAST(sum(c) AS DOUBLE) AS b FROM big),
+scored AS (
+  SELECT big.w1, big.w2, big.c AS cnt,
+         floor(ln((CAST(big.c AS DOUBLE) * n.n * n.n)
+                  / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * b.b))
+               * 1e6 + 0.5) / 1e6 AS pmi
+  FROM big
+  JOIN uni u1 ON big.w1 = u1.w
+  JOIN uni u2 ON big.w2 = u2.w
+  CROSS JOIN n CROSS JOIN b
+  WHERE big.c >= {min_cnt}
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS r FROM scored
+)
+SELECT w1, w2, cnt, pmi, CAST(r AS BIGINT) AS rank
+FROM ranked WHERE r <= {top} ORDER BY rank"""

@@ -145,6 +145,11 @@ def dup_spans(sf_dir: str):
     return textops.dup_spans(sf_dir)
 
 
+def pmi_bigrams(sf_dir: str):
+    from . import textops
+    return textops.pmi_bigrams(sf_dir)
+
+
 def simhash_docs(sf_dir: str):
     from . import textops
     return textops.simhash_docs(sf_dir)
@@ -370,6 +375,7 @@ def ray_queries() -> dict:
         "winnow_fingerprints": winnow_fingerprints,
         "dedup_exact": dedup_exact,
         "dup_spans": dup_spans,
+        "pmi_bigrams": pmi_bigrams,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -446,6 +452,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # grams grouped by STRING in SQL vs 128-bit blake2b keys in Ray —
         # equality is the collision-safety check itself
         "dup_spans": oracle_sql.dup_spans_sql(_textops().DUPSPAN_K),
+        "pmi_bigrams": oracle_sql.pmi_bigrams_sql(
+            _textops().PMI_TOP, _textops().PMI_MIN_CNT),
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard
         "dedup_ngram_jaccard": oracle_sql.ngram_jaccard_sql(0.3),

@@ -1704,3 +1704,136 @@ def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
     return hits.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket") \
         .map_groups(lambda g: _merge_spans(g, k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: top bigrams by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+PMI_TOP = 100
+PMI_MIN_CNT = 3
+
+
+def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
+                min_cnt: int = PMI_MIN_CNT) -> pd.DataFrame:
+    """Top-``top`` adjacent-word bigrams by PMI = ln(p(xy) / (p(x)p(y))),
+    p(xy) = c_xy/B, p(w) = c_w/N — the classic collocation signal
+    (Church & Hanks '90), with a ``min_cnt`` support floor so hapax
+    pairings can't dominate.
+
+    100 TB shape: ONE corpus pass emits per-batch (w1, w2, cnt) partials
+    (unigrams ride the same stream with w2='') -> a single groupby-sum;
+    the aggregated count table is materialized once (vocab-bounded, far
+    below corpus size) and reused for totals, the support filter, and two
+    distributed hash joins that attach c_x / c_y.  The driver sees only
+    per-batch top-``top`` candidates.  Scores are rounded to 6 decimals
+    BEFORE ranking (the tfidf rule) so numpy-vs-DuckDB ln ulps can't flip
+    the order; ties break on (w1, w2)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if not len(flat):
+            return empty
+        uni = pd.Series(flat).value_counts()
+        seg = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        mask = seg[:-1] == seg[1:]
+        parts = [pd.DataFrame({"w1": uni.index.to_numpy(dtype=object),
+                               "w2": "",
+                               "cnt": uni.to_numpy(np.int64)})]
+        if mask.any():
+            bi = pd.DataFrame({"w1": flat[:-1][mask],
+                               "w2": flat[1:][mask]}) \
+                .groupby(["w1", "w2"], sort=False).size() \
+                .reset_index(name="cnt")
+            parts.append(bi)
+        out = pd.concat(parts, ignore_index=True)
+        return pa.table({"w1": pa.array(out["w1"].astype(str),
+                                        type=pa.string()),
+                         "w2": pa.array(out["w2"].astype(str),
+                                        type=pa.string()),
+                         "cnt": pa.array(out["cnt"].to_numpy(np.int64))})
+
+    agg = read_docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).materialize()
+
+    def totals(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_uni = pc.equal(batch["w2"], "")
+        c = batch["cnt"]
+        return pa.table({
+            "n_uni": pa.array([pc.sum(pc.if_else(is_uni, c, 0)).as_py()
+                               or 0], type=pa.int64()),
+            "n_big": pa.array([pc.sum(pc.if_else(is_uni, 0, c)).as_py()
+                               or 0], type=pa.int64())})
+
+    tot = agg.map_batches(totals, batch_format="pyarrow").to_pandas().sum()
+    n_tok, n_big = float(tot["n_uni"]), float(tot["n_big"])
+    schema_out = ["w1", "w2", "cnt", "pmi", "rank"]
+    empty_out = pd.DataFrame({"w1": pd.Series(dtype=str),
+                              "w2": pd.Series(dtype=str),
+                              "cnt": pd.Series(dtype=np.int64),
+                              "pmi": pd.Series(dtype=np.float64),
+                              "rank": pd.Series(dtype=np.int64)})
+
+    def split(batch: pa.Table, want_uni: bool) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(batch["w2"], "")
+        if want_uni:
+            return batch.filter(m).select(["w1", "cnt"]) \
+                .rename_columns(["w", "c"])
+        return batch.filter(pc.and_(pc.invert(m),
+                                    pc.greater_equal(batch["cnt"],
+                                                     min_cnt)))
+
+    big = agg.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    n_big_rows = big.count()
+    if n_big_rows == 0:         # Ray join crashes on an empty LEFT dataset
+        return empty_out
+    uni = agg.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+    # partitions scale with the filtered bigram volume (ann.py join
+    # sizing rule) — a partition count above the non-empty block count
+    # feeds join 2 zero-schema empty blocks, which acero rejects
+    n_part = max(1, min(int(ray.cluster_resources().get("CPU", 8)),
+                        n_big_rows // 256 + 1))
+    j = big.join(uni, "inner", n_part, on=("w1",), right_on=("w",),
+                 left_suffix="_b", right_suffix="_u1")
+    j = j.join(uni, "inner", n_part, on=("w2",), right_on=("w",),
+               left_suffix="_l", right_suffix="_u2")
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "pmi": pa.array([], type=pa.float64())})
+        # join 1 leaves uni's (w, c) unsuffixed; join 2 collides on both,
+        # so c -> c_l (the w1 count) and the new right c -> c_u2
+        cxy = batch["cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = batch["c_l"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch["c_u2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = _round6(np.log((cxy * n_tok * n_tok) / (c1 * c2 * n_big)))
+        keep = pd.DataFrame({
+            "w1": batch["w1"].to_pandas().astype(str),
+            "w2": batch["w2"].to_pandas().astype(str),
+            "cnt": batch["cnt"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "pmi": pmi}) \
+            .sort_values(["pmi", "w1", "w2"],
+                         ascending=[False, True, True]).head(top)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    cand = j.map_batches(score, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return empty_out
+    cand = cand.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True]).head(top) \
+        .reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[schema_out]

@@ -391,3 +391,75 @@ def test_dup_spans_matches_duckdb_oracle(span_dir):
                            ["doc_id", "span_start", "span_end",
                             "n_tokens", "n_grams"]})
     pd.testing.assert_frame_equal(df, exp.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# pmi_bigrams: collocation mining
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pmi_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("pmi")
+    rows = [
+        # "new york" always adjacent (strong collocation, cnt=4)
+        (1, "new york is big and new york is far from here", "en", "s", 0),
+        (2, "we flew to new york and back to new york today", "en", "s", 0),
+        # "the the" frequent but both words frequent everywhere (low PMI)
+        (3, "the cat and the dog and the bird and the fish", "en", "s", 0),
+        (4, "the sun and the moon and the star and the sky", "en", "s", 0),
+        (5, "rare words here", "en", "s", 0),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_pmi_bigrams_collocation_signal(pmi_dir):
+    df = textops.pmi_bigrams(pmi_dir, top=10, min_cnt=3)
+    assert list(df.columns) == ["w1", "w2", "cnt", "pmi", "rank"]
+    top = df.set_index(["w1", "w2"])
+    assert ("new", "york") in top.index
+    ny = top.loc[("new", "york")]
+    assert ny["cnt"] == 4
+    # always-adjacent pair: pmi = ln(N^2 * cxy / (cx * cy * B)), all of
+    # "new"/"york" occurrences are in the bigram
+    n_tok = sum(len(t.split()) for t in [
+        "new york is big and new york is far from here",
+        "we flew to new york and back to new york today",
+        "the cat and the dog and the bird and the fish",
+        "the sun and the moon and the star and the sky",
+        "rare words here"])
+    n_big = n_tok - 5
+    exp = np.log((4 * n_tok * n_tok) / (4 * 4 * n_big))
+    assert abs(ny["pmi"] - exp) < 1e-5
+    # "and the" has high support but low PMI: ranked below "new york"
+    if ("and", "the") in top.index:
+        assert top.loc[("and", "the"), "pmi"] < ny["pmi"]
+    # ranks are 1..n dense
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+
+
+def test_pmi_bigrams_min_count_floor(pmi_dir):
+    df = textops.pmi_bigrams(pmi_dir, top=50, min_cnt=3)
+    assert (df["cnt"] >= 3).all()
+    # no bigram clears a support floor above the max count
+    assert textops.pmi_bigrams(pmi_dir, top=10, min_cnt=99).empty
+
+
+def test_pmi_bigrams_matches_duckdb_oracle(pmi_dir):
+    import duckdb
+
+    from osmlint import oracle_sql
+    df = textops.pmi_bigrams(pmi_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{pmi_dir}/documents.parquet')")
+    exp = con.execute(oracle_sql.pmi_bigrams_sql(
+        textops.PMI_TOP, textops.PMI_MIN_CNT)).fetchdf()
+    exp["cnt"] = exp["cnt"].astype("int64")
+    exp["rank"] = exp["rank"].astype("int64")
+    pd.testing.assert_frame_equal(df.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
