@@ -1424,3 +1424,59 @@ scored AS (
 )
 SELECT w1, w2, cnt, pmi, CAST(r AS BIGINT) AS rank
 FROM ranked WHERE r <= {top} ORDER BY rank"""
+
+
+_QUALITY_SCORED_CTE = r"""
+c AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+        AS n_tokens,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS BIGINT)
+        AS punct_cnt,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+        '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT)
+        AS stop_cnt,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+      + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                                / greatest(n_tokens, 1)))
+      AS quality
+  FROM c
+)"""
+
+
+def quality_percentile_filter_sql(keep_frac: float) -> str:
+    """Per-language relative quality gate on 4-dp quality bins: the
+    threshold is ``quantile_disc(qbin, 1 - keep_frac)`` (same discrete
+    definition the Ray histogram walk uses); ties at the threshold kept.
+    Quality arithmetic is the TEXT_STATS expression (no transcendentals,
+    doubles bit-identical to numpy)."""
+    return rf"""
+WITH {_QUALITY_SCORED_CTE},
+qb AS (
+  SELECT doc_id, lang,
+         CAST(floor(quality * 1e4 + 0.5) AS BIGINT) AS qbin
+  FROM scored
+), thr AS (
+  SELECT lang, quantile_disc(qbin, {1.0 - keep_frac}) AS t
+  FROM qb GROUP BY lang
+)
+SELECT qb.doc_id, qb.lang, CAST(qb.qbin AS DOUBLE) / 1e4 AS quality_r
+FROM qb JOIN thr USING (lang)
+WHERE qb.qbin >= thr.t ORDER BY qb.doc_id"""
+
+
+DISTINCT_TOKEN_COUNTS_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+)
+SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+FROM toks GROUP BY lang ORDER BY lang"""

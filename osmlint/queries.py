@@ -150,6 +150,16 @@ def pmi_bigrams(sf_dir: str):
     return textops.pmi_bigrams(sf_dir)
 
 
+def quality_percentile_filter(sf_dir: str):
+    from . import textops
+    return textops.quality_percentile_filter(sf_dir)
+
+
+def distinct_token_counts(sf_dir: str):
+    from . import textops
+    return textops.distinct_token_counts(sf_dir)
+
+
 def simhash_docs(sf_dir: str):
     from . import textops
     return textops.simhash_docs(sf_dir)
@@ -376,6 +386,8 @@ def ray_queries() -> dict:
         "dedup_exact": dedup_exact,
         "dup_spans": dup_spans,
         "pmi_bigrams": pmi_bigrams,
+        "quality_percentile_filter": quality_percentile_filter,
+        "distinct_token_counts": distinct_token_counts,
         "simhash_docs": simhash_docs,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -454,6 +466,10 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dup_spans": oracle_sql.dup_spans_sql(_textops().DUPSPAN_K),
         "pmi_bigrams": oracle_sql.pmi_bigrams_sql(
             _textops().PMI_TOP, _textops().PMI_MIN_CNT),
+        "quality_percentile_filter":
+            oracle_sql.quality_percentile_filter_sql(
+                _textops().QUALITY_KEEP_FRAC),
+        "distinct_token_counts": oracle_sql.DISTINCT_TOKEN_COUNTS_SQL,
         # exact recall by construction (inverted-index candidates) — SQL
         # computes the same word-3-gram Jaccard
         "dedup_ngram_jaccard": oracle_sql.ngram_jaccard_sql(0.3),

@@ -58,19 +58,33 @@ def read_docs(sf_dir: str) -> rd.Dataset:
 # per-doc stats (language-ID, quality, token counts, fingerprint)
 # ---------------------------------------------------------------------------
 
-def stats_batch(batch: pa.Table) -> pa.Table:
-    df = batch.to_pandas()
-    text = df["text"].fillna("")
+def _quality_cols(text: pd.Series) -> dict:
+    """The shared quality arithmetic (no transcendentals — doubles are
+    bit-identical between numpy and DuckDB; mirrored in
+    ``oracle_sql.top_quality_docs_sql`` and the quality-filter SQL)."""
     n_chars = text.str.len().to_numpy(np.int64)
     n_tokens = text.str.count(r"\S+").to_numpy(np.int64)
     punct = text.str.count(PUNCT_RE).to_numpy(np.int64)
     stop = text.str.count(STOPWORD_RE).to_numpy(np.int64)
-    bpe = text.str.count(BPE_RE).to_numpy(np.int64)
     punct_ratio = punct / np.maximum(n_chars, 1)
     stop_ratio = stop / np.maximum(n_tokens, 1)
     quality = (0.4 * np.minimum(1.0, n_tokens / 100.0)
                + 0.3 * (1.0 - punct_ratio)
                + 0.3 * np.minimum(1.0, 5.0 * stop_ratio))
+    return {"n_chars": n_chars, "n_tokens": n_tokens, "punct": punct,
+            "stop": stop, "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio, "quality": quality}
+
+
+def stats_batch(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    text = df["text"].fillna("")
+    q = _quality_cols(text)
+    n_chars, n_tokens = q["n_chars"], q["n_tokens"]
+    punct, stop = q["punct"], q["stop"]
+    punct_ratio, stop_ratio = q["punct_ratio"], q["stop_ratio"]
+    quality = q["quality"]
+    bpe = text.str.count(BPE_RE).to_numpy(np.int64)
     lang_pred = np.where(stop > 0, "en", "unknown").astype(object)
     # fingerprint: md5 hex — per-row C hashing (no vectorized md5 exists);
     # the rest of the kernel stays columnar
@@ -1837,3 +1851,113 @@ def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
         .reset_index(drop=True)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand[schema_out]
+
+
+# ---------------------------------------------------------------------------
+# relative quality filtering: keep the top fraction per language
+# ---------------------------------------------------------------------------
+
+QUALITY_KEEP_FRAC = 0.25
+
+
+def quality_percentile_filter(sf_dir: str,
+                              keep_frac: float = QUALITY_KEEP_FRAC
+                              ) -> rd.Dataset:
+    """Keep each language's top ``keep_frac`` of documents by quality —
+    the RELATIVE quality gate real curation pipelines use instead of a
+    fixed threshold (``corpus_filter``).
+
+    Exact at 100 TB without a per-group sort: quality is rounded to
+    4 decimals (<= 10001 bins), per-batch (lang, qbin) histogram partials
+    groupby-sum into per-lang histograms (bin-bounded, NOT corpus-bounded),
+    the driver walks each cumulative histogram to the ``1 - keep_frac``
+    discrete quantile (the ``token_quantiles`` definition: sorted element
+    at max(ceil(q*n), 1) - 1), and a second pruned pass filters with the
+    tiny broadcast threshold map.  Ties at the threshold are kept, so the
+    kept fraction is >= keep_frac."""
+    def qbin_of(df: pd.DataFrame) -> np.ndarray:
+        q = _quality_cols(df["text"].fillna(""))["quality"]
+        return np.floor(q * 1e4 + 0.5).astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = pd.DataFrame({"lang": df["lang"], "qbin": qbin_of(df)}) \
+            .groupby(["lang", "qbin"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({"lang": pa.array(g["lang"].astype(str)),
+                         "qbin": pa.array(g["qbin"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    hist = (read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "qbin"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("qbin")
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        k = max(int(np.ceil((1.0 - keep_frac) * int(cum[-1]))), 1)
+        thr[str(lang)] = int(g["qbin"].to_numpy(np.int64)[
+            np.searchsorted(cum, k, side="left")])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qb = qbin_of(df)
+        t = df["lang"].astype(str).map(thr).fillna(np.iinfo(np.int64).max) \
+            .to_numpy(np.int64)
+        m = qb >= t
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)[m]),
+            "lang": pa.array(df["lang"].astype(str)[m], type=pa.string()),
+            "quality_r": pa.array(qb[m].astype(np.float64) / 1e4)})
+
+    return read_docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact per-language distinct-token counts
+# ---------------------------------------------------------------------------
+
+def distinct_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT lowercased token) per language.
+
+    100 TB shape: tokens are deduped per batch, then only (lang, h1, h2)
+    rides the shuffle — the 128-bit blake2b key (16 bytes, the dup_spans
+    collision-safety rule) instead of variable-length strings.  One
+    distinct groupby + a tiny per-lang count aggregate; the driver sees
+    #langs rows."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        if not len(flat):
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64())})
+        langs = np.repeat(df["lang"].astype(str).to_numpy(dtype=object),
+                          lens)
+        pairs = pd.DataFrame({"lang": langs, "tok": flat}) \
+            .drop_duplicates()
+        buf = b"".join(hashlib.blake2b(t.encode("utf-8"), digest_size=16)
+                       .digest() for t in pairs["tok"])
+        hh = np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
+        return pa.table({"lang": pa.array(pairs["lang"].astype(str),
+                                          type=pa.string()),
+                         "h1": pa.array(hh[:, 0].view(np.int64)),
+                         "h2": pa.array(hh[:, 1].view(np.int64))})
+
+    distinct = read_docs(sf_dir) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "h1", "h2"]).aggregate(Count(alias_name="_c"))
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang", sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(g["lang"].astype(str)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    out = distinct.map_batches(lang_partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_distinct")) \
+        .to_pandas()
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

@@ -463,3 +463,57 @@ def test_pmi_bigrams_matches_duckdb_oracle(pmi_dir):
     exp["rank"] = exp["rank"].astype("int64")
     pd.testing.assert_frame_equal(df.reset_index(drop=True),
                                   exp.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# quality_percentile_filter + distinct_token_counts
+# ---------------------------------------------------------------------------
+
+def test_quality_percentile_filter_keeps_top_fraction(doc_dir):
+    kept = textops.quality_percentile_filter(doc_dir, keep_frac=0.25) \
+        .to_pandas()
+    stats = textops.text_stats(doc_dir).to_pandas()
+    docs = pd.read_parquet(os.path.join(doc_dir, "documents.parquet"))
+    stats = stats.merge(docs[["doc_id", "lang"]], on="doc_id")
+    stats["qbin"] = np.floor(stats["quality"] * 1e4 + 0.5).astype(np.int64)
+    for lang, g in stats.groupby("lang"):
+        got = set(kept[kept["lang"] == lang]["doc_id"])
+        n = len(g)
+        k = max(int(np.ceil(0.75 * n)), 1)
+        thr = np.sort(g["qbin"].to_numpy())[k - 1]
+        exp = set(g[g["qbin"] >= thr]["doc_id"])
+        assert got == exp
+        assert len(got) >= int(np.ceil(0.25 * n)) or len(got) == len(exp)
+    # reported quality_r is the rounded bin value
+    m = kept.merge(stats, on="doc_id")
+    assert np.allclose(m["quality_r"], m["qbin"] / 1e4)
+
+
+def test_quality_percentile_filter_tie_semantics(tmp_path, ray_session):
+    # every doc identical => all tie at the threshold => ALL kept
+    d = tmp_path / "ties"
+    d.mkdir()
+    df = pd.DataFrame({"doc_id": range(8),
+                       "text": ["same text here ok"] * 8,
+                       "lang": ["en"] * 8, "source": ["s"] * 8,
+                       "n_chars": [17] * 8})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    kept = textops.quality_percentile_filter(str(d), keep_frac=0.25) \
+        .to_pandas()
+    assert set(kept["doc_id"]) == set(range(8))
+
+
+def test_distinct_token_counts_exact(tmp_path, ray_session):
+    d = tmp_path / "dtc"
+    d.mkdir()
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["A a b c", "b c d", "x y"],
+        "lang": ["en", "en", "sr"],
+        "source": ["s"] * 3, "n_chars": [7, 5, 3]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = textops.distinct_token_counts(str(d))
+    # lowercased: en has {a, b, c, d}, sr has {x, y}
+    assert dict(zip(out["lang"], out["n_distinct"])) == {"en": 4, "sr": 2}
