@@ -151,3 +151,75 @@ def asof_attribution(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
                            "src_event_id": pd.Series(dtype="Int64"),
                            "src_type": pd.Series(dtype=object)})
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+FUNNEL_STEP_A = "signup"
+FUNNEL_STEP_B = "purchase"
+FUNNEL_WINDOW_DAYS = 7
+
+
+def funnel(sf_dir: str, n_buckets: int = 64,
+           window_days: int = FUNNEL_WINDOW_DAYS) -> pd.DataFrame:
+    """Two-step conversion funnel: for every user with a ``signup``,
+    count ``purchase`` events inside ``[first_signup, first_signup +
+    window]`` and report the first converting purchase + delay.
+
+    Same 100 TB shape as ``sessionize``/``asof_attribution``: the two
+    step types are filtered out of the stream per batch (everything else
+    never rides the shuffle), a user-hash-bucket groupby colocates each
+    user's steps, and the in-group funnel is one vectorized
+    transform-merge — no per-user Python, no global sort.  Non-converting
+    signups are kept (NULL purchase columns), so the op reports both
+    funnel levels."""
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([FUNNEL_STEP_A, FUNNEL_STEP_B]))
+        batch = batch.filter(keep)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % n_buckets
+        return batch.append_column("_b", pa.array(b, type=pa.int64())) \
+            .replace_schema_metadata(None)
+
+    win = np.timedelta64(window_days, "D")
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("signup_ts", pa.timestamp("us")),
+        ("n_purchases_w", pa.int64()),
+        ("first_purchase_ts", pa.timestamp("us")),
+        ("delay_us", pa.int64())])
+
+    def step(g: pd.DataFrame) -> pa.Table:
+        s = g[g["event_type"] == FUNNEL_STEP_A] \
+            .groupby("user_id")["ts"].min()
+        if not len(s):
+            return out_schema.empty_table()
+        p = g[g["event_type"] == FUNNEL_STEP_B].copy()
+        p["t0"] = p["user_id"].map(s)
+        p = p[p["t0"].notna()]
+        m = (p["ts"] >= p["t0"]) & (p["ts"] <= p["t0"] + win)
+        conv = p[m].groupby("user_id")["ts"].agg(["count", "min"])
+        res = pd.DataFrame({"user_id": s.index.to_numpy(np.int64),
+                            "signup_ts": s.to_numpy()})
+        res = res.merge(conv, left_on="user_id", right_index=True,
+                        how="left")
+        res["n_purchases_w"] = res["count"].fillna(0).astype(np.int64)
+        res["first_purchase_ts"] = res["min"]
+        res["delay_us"] = ((res["min"] - res["signup_ts"])
+                           / pd.Timedelta(microseconds=1)).astype("Int64")
+        return to_arrow(res[["user_id", "signup_ts", "n_purchases_w",
+                             "first_purchase_ts", "delay_us"]], out_schema)
+
+    res = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_b").map_groups(step, batch_format="pandas"))
+    df = res.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                           "signup_ts": pd.Series(dtype="datetime64[us]"),
+                           "n_purchases_w": pd.Series(dtype=np.int64),
+                           "first_purchase_ts":
+                               pd.Series(dtype="datetime64[us]"),
+                           "delay_us": pd.Series(dtype="Int64")})
+    return df.sort_values("user_id").reset_index(drop=True)

@@ -1480,3 +1480,28 @@ WITH toks AS (
 )
 SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
 FROM toks GROUP BY lang ORDER BY lang"""
+
+
+def events_funnel_sql(step_a: str, step_b: str, window_days: int) -> str:
+    """Two-step funnel: first step-A per user, step-B count/first inside
+    the closed window; non-converters keep NULL purchase columns."""
+    return f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = '{step_a}' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_purchases_w,
+         min(e.ts) AS first_purchase_ts
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = '{step_b}'
+    AND e.ts >= s.signup_ts
+    AND e.ts <= s.signup_ts + INTERVAL {window_days} DAY
+  GROUP BY s.user_id
+)
+SELECT s.user_id, s.signup_ts,
+       CAST(coalesce(conv.n_purchases_w, 0) AS BIGINT) AS n_purchases_w,
+       conv.first_purchase_ts,
+       CAST(epoch_us(conv.first_purchase_ts)
+            - epoch_us(s.signup_ts) AS BIGINT) AS delay_us
+FROM s LEFT JOIN conv USING (user_id)
+ORDER BY s.user_id"""

@@ -290,6 +290,11 @@ def events_sessionize(sf_dir: str):
     return eventops.sessionize(sf_dir)
 
 
+def events_funnel(sf_dir: str):
+    from . import eventops
+    return eventops.funnel(sf_dir)
+
+
 def media_features(sf_dir: str):
     from . import media
     return media.media_features(_synth(sf_dir))
@@ -366,6 +371,11 @@ def _textops():
     return textops
 
 
+def _eventops():
+    from . import eventops
+    return eventops
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -414,6 +424,7 @@ def ray_queries() -> dict:
         "events_window": events_window,
         "events_sessionize": events_sessionize,
         "events_asof_attribution": events_asof_attribution,
+        "events_funnel": events_funnel,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
@@ -515,6 +526,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,
+        "events_funnel": oracle_sql.events_funnel_sql(
+            _eventops().FUNNEL_STEP_A, _eventops().FUNNEL_STEP_B,
+            _eventops().FUNNEL_WINDOW_DAYS),
         "media_features": oracle_sql.media_features_sql(d),
         "media_resize": oracle_sql.media_resize_sql(d),
         "media_frame_sample": oracle_sql.media_frame_sample_sql(d),

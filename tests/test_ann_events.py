@@ -152,3 +152,43 @@ def test_cosine_lsh_deterministic(emb_dir):
     a = ann.cosine_pairs_lsh(emb_dir, tau=0.9, dim=16)
     b = ann.cosine_pairs_lsh(emb_dir, tau=0.9, dim=16)
     assert a.equals(b)
+
+
+def test_events_funnel_semantics(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from osmlint import eventops
+    d = tmp_path / "funnel"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: signup then purchase inside the window -> converts
+        (1, t0, 1, "signup"), (2, t0 + pd.Timedelta(days=2), 1, "purchase"),
+        (3, t0 + pd.Timedelta(days=3), 1, "purchase"),
+        # user 2: purchase BEFORE signup only -> no conversion
+        (4, t0, 2, "purchase"), (5, t0 + pd.Timedelta(hours=1), 2, "signup"),
+        # user 3: purchase outside the 7-day window -> no conversion
+        (6, t0, 3, "signup"), (7, t0 + pd.Timedelta(days=8), 3, "purchase"),
+        # user 4: two signups; window anchors on the FIRST
+        (8, t0, 4, "signup"), (9, t0 + pd.Timedelta(days=6), 4, "signup"),
+        (10, t0 + pd.Timedelta(days=7), 4, "purchase"),
+        # user 5: purchase only, never signed up -> absent from output
+        (11, t0, 5, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    out = eventops.funnel(str(d)).set_index("user_id")
+    assert set(out.index) == {1, 2, 3, 4}
+    assert out.loc[1, "n_purchases_w"] == 2
+    assert out.loc[1, "delay_us"] == 2 * 86400 * 10**6
+    assert out.loc[2, "n_purchases_w"] == 0
+    assert pd.isna(out.loc[2, "first_purchase_ts"])
+    assert out.loc[3, "n_purchases_w"] == 0
+    # day-7 purchase is INSIDE the closed window anchored on the first signup
+    assert out.loc[4, "n_purchases_w"] == 1
+    assert out.loc[4, "signup_ts"] == t0
