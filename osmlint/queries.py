@@ -270,6 +270,17 @@ def ann_topk_ivf(sf_dir: str):
     return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
 
 
+def ann_topk_ivf_fullprobe(sf_dir: str):
+    """Machinery-parity configuration of the IVF index: probing ALL
+    lists must reproduce the exact top-k bit-for-bit, so the routing,
+    per-list matmul and distributed rank reduction get a hard oracle —
+    while ``ann_topk_ivf`` keeps its honest approximate (rows-only)
+    setting with the pytest recall gate."""
+    from . import ann
+    return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ,
+                                  nprobe=ann.IVF_K)
+
+
 def embedding_cosine_pairs_lsh(sf_dir: str):
     from . import ann
     return ann.cosine_pairs_lsh(sf_dir, tau=COS_TAU)
@@ -419,6 +430,7 @@ def ray_queries() -> dict:
         "embedding_quantize": embedding_quantize,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "ann_topk_ivf_fullprobe": ann_topk_ivf_fullprobe,
         "embedding_cosine_pairs": embedding_cosine_pairs,
         "embedding_cosine_pairs_lsh": embedding_cosine_pairs_lsh,
         "events_window": events_window,
@@ -519,6 +531,10 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
+        # full-probe IVF == exact top-k by construction: every list is
+        # scanned, so the approximation is off and the index machinery
+        # (routing, per-list matmul, rank reduction) gets a hard oracle
+        "ann_topk_ivf_fullprobe": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         "embedding_cosine_pairs": oracle_sql.cosine_pairs_sql(COS_TAU),
         # LSH multiprobe recall verified == exact at gate scale (pytest
         # guards the subset property; equality checked empirically)

@@ -192,3 +192,15 @@ def test_events_funnel_semantics(tmp_path, ray_session):
     # day-7 purchase is INSIDE the closed window anchored on the first signup
     assert out.loc[4, "n_purchases_w"] == 1
     assert out.loc[4, "signup_ts"] == t0
+
+
+def test_ivf_fullprobe_equals_exact(ray_session):
+    """Probing every list disables the approximation: the IVF machinery
+    must reproduce the exact brute-force top-k bit-for-bit."""
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    exact = ann.topk_neighbors(sf, k=5, n_queries=4)
+    full = ann.topk_neighbors_ivf(sf, k=5, n_queries=4, nprobe=ann.IVF_K)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True)[["query_id", "neighbor_id", "rank"]],
+        full.reset_index(drop=True)[["query_id", "neighbor_id", "rank"]])
