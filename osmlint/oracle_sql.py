@@ -1505,3 +1505,52 @@ SELECT s.user_id, s.signup_ts,
             - epoch_us(s.signup_ts) AS BIGINT) AS delay_us
 FROM s LEFT JOIN conv USING (user_id)
 ORDER BY s.user_id"""
+
+
+def dup_span_stats_sql(k: int) -> str:
+    """Per-doc rollup of the dup-span SQL: span count, duplicated tokens,
+    doc token total, 6-dp duplicated fraction (flagged docs only)."""
+    return rf"""
+WITH spans AS ({dup_spans_sql(k)}),
+tot AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                    '\s+'),
+                              x -> x <> '')) AS BIGINT) AS total_tokens
+  FROM documents
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(s.n_tokens) AS BIGINT) AS dup_tokens,
+       t.total_tokens,
+       floor(CAST(sum(s.n_tokens) AS DOUBLE) / t.total_tokens * 1e6
+             + 0.5) / 1e6 AS dup_fraction
+FROM spans s JOIN tot t USING (doc_id)
+GROUP BY s.doc_id, t.total_tokens ORDER BY s.doc_id"""
+
+
+TOKEN_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, token
+), nn AS (
+  SELECT doc_id, sum(tf) AS n, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM tf GROUP BY doc_id
+), h AS (
+  SELECT tf.doc_id, sum(-(tf.tf / nn.n) * ln(tf.tf / nn.n)) AS h
+  FROM tf JOIN nn USING (doc_id) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(nn.n, 0) AS BIGINT) AS n_tokens,
+       coalesce(nn.n_distinct, 0) AS n_distinct,
+       floor(coalesce(nn.n_distinct / greatest(nn.n, 1), 0.0) * 1e6 + 0.5)
+           / 1e6 AS ttr,
+       floor(coalesce(h.h, 0.0) * 1e6 + 0.5) / 1e6 AS entropy
+FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN h USING (doc_id)
+ORDER BY d.doc_id"""

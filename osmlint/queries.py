@@ -150,6 +150,16 @@ def pmi_bigrams(sf_dir: str):
     return textops.pmi_bigrams(sf_dir)
 
 
+def dup_span_stats(sf_dir: str):
+    from . import textops
+    return textops.dup_span_stats(sf_dir)
+
+
+def token_entropy(sf_dir: str):
+    from . import textops
+    return textops.token_entropy(sf_dir)
+
+
 def quality_percentile_filter(sf_dir: str):
     from . import textops
     return textops.quality_percentile_filter(sf_dir)
@@ -407,6 +417,8 @@ def ray_queries() -> dict:
         "dedup_exact": dedup_exact,
         "dup_spans": dup_spans,
         "pmi_bigrams": pmi_bigrams,
+        "dup_span_stats": dup_span_stats,
+        "token_entropy": token_entropy,
         "quality_percentile_filter": quality_percentile_filter,
         "distinct_token_counts": distinct_token_counts,
         "simhash_docs": simhash_docs,
@@ -489,6 +501,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dup_spans": oracle_sql.dup_spans_sql(_textops().DUPSPAN_K),
         "pmi_bigrams": oracle_sql.pmi_bigrams_sql(
             _textops().PMI_TOP, _textops().PMI_MIN_CNT),
+        "dup_span_stats": oracle_sql.dup_span_stats_sql(
+            _textops().DUPSPAN_K),
+        "token_entropy": oracle_sql.TOKEN_ENTROPY_SQL,
         "quality_percentile_filter":
             oracle_sql.quality_percentile_filter_sql(
                 _textops().QUALITY_KEEP_FRAC),

@@ -1961,3 +1961,110 @@ def distinct_token_counts(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def dup_span_stats(sf_dir: str, k: int = DUPSPAN_K) -> rd.Dataset:
+    """Per-document duplication rollup of ``dup_spans``: how much of each
+    flagged doc is covered by cross-document duplicated k-gram spans.
+
+    Output (flagged docs only): doc_id, n_spans, dup_tokens,
+    total_tokens, dup_fraction (6 dp).  Token totals are derived from the
+    SAME posting checkpoint (#postings + k - 1 for any doc long enough to
+    have a posting), so no extra corpus pass; the final join is linear in
+    #docs on 16-byte keys."""
+    spans = dup_spans(sf_dir, k)
+
+    def roll(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("doc_id", sort=False) \
+            .agg(n_spans=("span_start", "size"),
+                 dup_tokens=("n_tokens", "sum")).reset_index()
+        return pa.table({"doc_id": pa.array(g["doc_id"]
+                                            .to_numpy(np.int64)),
+                         "n_spans": pa.array(g["n_spans"]
+                                             .to_numpy(np.int64)),
+                         "dup_tokens": pa.array(g["dup_tokens"]
+                                                .to_numpy(np.int64))})
+
+    agg = spans.map_batches(roll, batch_format="pyarrow") \
+        .groupby("doc_id") \
+        .aggregate(Sum("n_spans", alias_name="n_spans"),
+                   Sum("dup_tokens", alias_name="dup_tokens")) \
+        .materialize()          # bounded by flagged-doc volume
+    if agg.count() == 0:        # empty LEFT dataset crashes Ray join
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_spans": pa.array([], type=pa.int64()),
+            "dup_tokens": pa.array([], type=pa.int64()),
+            "total_tokens": pa.array([], type=pa.int64()),
+            "dup_fraction": pa.array([], type=pa.float64())}))
+
+    ckpt = dupspan_checkpoint(sf_dir, k)
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("doc_id", sort=False).size().reset_index(name="m")
+        return pa.table({"doc_id": pa.array(g["doc_id"]
+                                            .to_numpy(np.int64)),
+                         "m": pa.array(g["m"].to_numpy(np.int64))})
+
+    nb = max(1, sum(os.path.getsize(os.path.join(ckpt, f))
+                    for f in os.listdir(ckpt)) >> 27)
+    totals = rd.read_parquet(ckpt, columns=["doc_id"],
+                             override_num_blocks=nb) \
+        .map_batches(tok_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("m", alias_name="m"))
+    n_part = max(1, min(int(ray.cluster_resources().get("CPU", 8)),
+                        agg.count() // 4096 + 1))
+    j = agg.join(totals, "inner", n_part, on=("doc_id",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        total = df["m"].to_numpy(np.int64) + (k - 1)
+        dup = df["dup_tokens"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_spans": pa.array(df["n_spans"].to_numpy(np.int64)),
+            "dup_tokens": pa.array(dup),
+            "total_tokens": pa.array(total),
+            "dup_fraction": pa.array(_round6(dup / total))})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-doc token entropy + type-token ratio (lexical-diversity quality)
+# ---------------------------------------------------------------------------
+
+def token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document Shannon entropy over the word-frequency distribution
+    plus the type-token ratio — the lexical-diversity quality signals
+    (low entropy == repetitive/template text).  entropy =
+    -sum((tf/n) * ln(tf/n)); zero-token docs score 0.  Stateless
+    vectorized map_batches; 6-dp floor rounding on both sides."""
+    def ent(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].fillna("").str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        n = len(df)
+        entropy = np.zeros(n, dtype=np.float64)
+        distinct = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+            tf = pd.DataFrame({"i": seg, "tok": flat}) \
+                .groupby(["i", "tok"], sort=False).size()
+            ii = tf.index.get_level_values("i").to_numpy(np.int64)
+            cnt = tf.to_numpy(np.float64)
+            p = cnt / lens[ii]
+            np.add.at(entropy, ii, -p * np.log(p))
+            np.add.at(distinct, ii, 1)
+        nz = np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(lens),
+            "n_distinct": pa.array(distinct),
+            "ttr": pa.array(_round6(distinct / nz)),
+            "entropy": pa.array(_round6(entropy))})
+
+    return read_docs(sf_dir).map_batches(ent, batch_format="pyarrow")

@@ -517,3 +517,35 @@ def test_distinct_token_counts_exact(tmp_path, ray_session):
     out = textops.distinct_token_counts(str(d))
     # lowercased: en has {a, b, c, d}, sr has {x, y}
     assert dict(zip(out["lang"], out["n_distinct"])) == {"en": 4, "sr": 2}
+
+
+def test_dup_span_stats_rollup(span_dir):
+    df = textops.dup_span_stats(span_dir).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 1: one 8-token span of an 11-token doc
+    assert df.loc[1, "n_spans"] == 1
+    assert df.loc[1, "dup_tokens"] == 8
+    assert df.loc[1, "total_tokens"] == 11
+    assert abs(df.loc[1, "dup_fraction"] - 8 / 11) < 1e-6
+    # docs 5/6: fully duplicated
+    assert df.loc[5, "dup_fraction"] == 1.0
+    assert df.loc[6, "total_tokens"] == 6
+    # unflagged docs are absent
+    assert not set(df.index) & {3, 4, 10}
+
+
+def test_token_entropy_signals(tmp_path, ray_session):
+    d = tmp_path / "ent"
+    d.mkdir()
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a a", "a b c d", ""],
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [7, 7, 0]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = textops.token_entropy(str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "entropy"] == 0.0          # single repeated token
+    assert abs(out.loc[2, "entropy"] - np.log(4)) < 1e-6   # uniform
+    assert out.loc[2, "ttr"] == 1.0
+    assert out.loc[1, "ttr"] == 0.25
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "entropy"] == 0.0
