@@ -1535,7 +1535,18 @@ DUPSPAN_K = 5
 DUPSPAN_BROADCAST_MAX = 4_000_000
 
 _DUPSPAN_CKPT: dict = caches.register({})
+#: dup-key detection result (a materialized Dataset of duplicated gram
+#: keys) shared by ``dup_spans`` and ``dup_span_stats`` — the heaviest
+#: shuffle in the family runs once per checkpoint
+_DUPKEY_CACHE: dict = caches.register({})
 _DUPSPAN_CKPT_VERSION = 1
+
+#: bucket count for the high-cardinality gram-key reduces.  Ray's
+#: ``groupby().aggregate()`` pays per-GROUP overhead in its sort-based
+#: finalizer — a 237k-group aggregate measured ~100x slower than 64
+#: bucket groups with a C-level pandas combine inside map_groups.  At
+#: scale, raise via more buckets (each bucket must fit one worker task).
+_DUPSPAN_BUCKETS = 256
 
 
 def dupspan_postings_batch(batch: pa.Table, k: int = DUPSPAN_K) -> pa.Table:
@@ -1647,18 +1658,29 @@ def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
     ckpt = dupspan_checkpoint(sf_dir, k)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # per-batch pre-aggregate + bucket key: the global reduce is a
+        # BUCKET groupby (bounded group count) with a C-level pandas
+        # combine inside — Ray's aggregate() pays per-GROUP overhead, so
+        # a high-cardinality key groupby (237k groups here) is ~100x
+        # slower than 64 bucket groups (measured at sf0.1)
         df = batch.to_pandas()
         agg = df.groupby(["h1", "h2"], sort=False)["doc_id"] \
             .agg(["min", "max"]).reset_index()
-        return pa.table({"h1": pa.array(agg["h1"].to_numpy(np.int64)),
+        h1 = agg["h1"].to_numpy(np.int64)
+        bk = ((h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(40)).astype(np.int64) % _DUPSPAN_BUCKETS
+        return pa.table({"h1": pa.array(h1),
                          "h2": pa.array(agg["h2"].to_numpy(np.int64)),
                          "dmin": pa.array(agg["min"].to_numpy(np.int64)),
-                         "dmax": pa.array(agg["max"].to_numpy(np.int64))})
+                         "dmax": pa.array(agg["max"].to_numpy(np.int64)),
+                         "bucket": pa.array(bk)})
 
-    def crossdoc(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return batch.filter(pc.not_equal(batch["dmin"], batch["dmax"])) \
-            .select(["h1", "h2"])
+    def crossdoc(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["h1", "h2"], sort=False) \
+            .agg(dmin=("dmin", "min"), dmax=("dmax", "max")).reset_index()
+        keep = agg[agg["dmin"] != agg["dmax"]]
+        return pa.table({"h1": pa.array(keep["h1"].to_numpy(np.int64)),
+                         "h2": pa.array(keep["h2"].to_numpy(np.int64))})
 
     # byte-sized read blocks: both consumers feed sort-based groupbys,
     # whose partitioning follows input block count — tiny checkpoints
@@ -1667,14 +1689,17 @@ def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
     # ~128 MB default.
     nb = max(1, sum(os.path.getsize(os.path.join(ckpt, f))
                     for f in os.listdir(ckpt)) >> 27)
-    dup = rd.read_parquet(ckpt, columns=["h1", "h2", "doc_id"],
-                          override_num_blocks=nb) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby(["h1", "h2"]) \
-        .aggregate(Min("dmin", alias_name="dmin"),
-                   Max("dmax", alias_name="dmax")) \
-        .map_batches(crossdoc, batch_format="pyarrow") \
-        .materialize()          # bounded by duplicate-gram volume
+    dup = _DUPKEY_CACHE.get(ckpt)
+    if dup is None:
+        dup = rd.read_parquet(ckpt, columns=["h1", "h2", "doc_id"],
+                              override_num_blocks=nb) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("bucket") \
+            .map_groups(crossdoc, batch_format="pandas") \
+            .materialize()      # bounded by duplicate-gram volume
+        # keyed by the content-fingerprinted checkpoint dir, so a
+        # regenerated input can never serve a stale dup-key set
+        _DUPKEY_CACHE[ckpt] = dup
     posts = rd.read_parquet(ckpt, columns=["h1", "h2", "doc_id", "pos"],
                             override_num_blocks=nb)
     if dup.count() <= broadcast_max:
@@ -1772,9 +1797,26 @@ def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
                                         type=pa.string()),
                          "cnt": pa.array(out["cnt"].to_numpy(np.int64))})
 
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # bigram-vocab-cardinality keys: bucket reduce, not aggregate()
+        # (per-GROUP overhead, see _DUPSPAN_BUCKETS)
+        w1 = batch["w1"].to_pandas()
+        bk = (pd.util.hash_array(w1.to_numpy(dtype=object))
+              % _DUPSPAN_BUCKETS).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bk, type=pa.int64()))
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby(["w1", "w2"], sort=False)["cnt"].sum().reset_index()
+        return pa.table({"w1": pa.array(d["w1"].astype(str),
+                                        type=pa.string()),
+                         "w2": pa.array(d["w2"].astype(str),
+                                        type=pa.string()),
+                         "cnt": pa.array(d["cnt"].to_numpy(np.int64))})
+
     agg = read_docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
-        .groupby(["w1", "w2"]) \
-        .aggregate(Sum("cnt", alias_name="cnt")).materialize()
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_sum, batch_format="pandas") \
+        .materialize()
 
     def totals(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1946,17 +1988,26 @@ def distinct_token_counts(sf_dir: str) -> pd.DataFrame:
                          "h1": pa.array(hh[:, 0].view(np.int64)),
                          "h2": pa.array(hh[:, 1].view(np.int64))})
 
-    distinct = read_docs(sf_dir) \
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # vocab-cardinality keys NEVER hit groupby.aggregate() (per-GROUP
+        # overhead, see _DUPSPAN_BUCKETS): bucket on the token hash and
+        # dedup+count inside the group with C-level pandas
+        h1 = batch["h1"].to_numpy(zero_copy_only=False)
+        bk = ((h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(40)).astype(np.int64) % _DUPSPAN_BUCKETS
+        return batch.append_column("bucket", pa.array(bk, type=pa.int64()))
+
+    def bucket_count(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["lang", "h1", "h2"]) \
+            .groupby("lang", sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(d["lang"].astype(str),
+                                          type=pa.string()),
+                         "n": pa.array(d["n"].to_numpy(np.int64))})
+
+    out = read_docs(sf_dir) \
         .map_batches(partial, batch_format="pyarrow") \
-        .groupby(["lang", "h1", "h2"]).aggregate(Count(alias_name="_c"))
-
-    def lang_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("lang", sort=False).size().reset_index(name="n")
-        return pa.table({"lang": pa.array(g["lang"].astype(str)),
-                         "n": pa.array(g["n"].to_numpy(np.int64))})
-
-    out = distinct.map_batches(lang_partial, batch_format="pyarrow") \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_count, batch_format="pandas") \
         .groupby("lang").aggregate(Sum("n", alias_name="n_distinct")) \
         .to_pandas()
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
@@ -1970,66 +2021,77 @@ def dup_span_stats(sf_dir: str, k: int = DUPSPAN_K) -> rd.Dataset:
     Output (flagged docs only): doc_id, n_spans, dup_tokens,
     total_tokens, dup_fraction (6 dp).  Token totals are derived from the
     SAME posting checkpoint (#postings + k - 1 for any doc long enough to
-    have a posting), so no extra corpus pass; the final join is linear in
-    #docs on 16-byte keys."""
+    have a posting), so no extra corpus pass.  Both per-doc reduces and
+    the span<->total alignment happen in ONE doc-bucket groupby over the
+    union of the two partial streams (aligned schemas, zero-filled
+    columns) — no high-cardinality aggregate (per-GROUP overhead, see
+    ``_DUPSPAN_BUCKETS``), no join."""
     spans = dup_spans(sf_dir, k)
+    _schema = pa.schema([("doc_id", pa.int64()), ("n_spans", pa.int64()),
+                         ("dup_tokens", pa.int64()), ("m", pa.int64()),
+                         ("bucket", pa.int64())])
+
+    def _bk(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)).astype(np.int64) % _DUPSPAN_BUCKETS
 
     def roll(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("doc_id", sort=False) \
             .agg(n_spans=("span_start", "size"),
                  dup_tokens=("n_tokens", "sum")).reset_index()
-        return pa.table({"doc_id": pa.array(g["doc_id"]
-                                            .to_numpy(np.int64)),
+        ids = g["doc_id"].to_numpy(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
                          "n_spans": pa.array(g["n_spans"]
                                              .to_numpy(np.int64)),
                          "dup_tokens": pa.array(g["dup_tokens"]
-                                                .to_numpy(np.int64))})
-
-    agg = spans.map_batches(roll, batch_format="pyarrow") \
-        .groupby("doc_id") \
-        .aggregate(Sum("n_spans", alias_name="n_spans"),
-                   Sum("dup_tokens", alias_name="dup_tokens")) \
-        .materialize()          # bounded by flagged-doc volume
-    if agg.count() == 0:        # empty LEFT dataset crashes Ray join
-        return rd.from_arrow(pa.table({
-            "doc_id": pa.array([], type=pa.int64()),
-            "n_spans": pa.array([], type=pa.int64()),
-            "dup_tokens": pa.array([], type=pa.int64()),
-            "total_tokens": pa.array([], type=pa.int64()),
-            "dup_fraction": pa.array([], type=pa.float64())}))
-
-    ckpt = dupspan_checkpoint(sf_dir, k)
+                                                .to_numpy(np.int64)),
+                         "m": pa.array(np.zeros(len(ids), np.int64)),
+                         "bucket": pa.array(_bk(ids))}, schema=_schema)
 
     def tok_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby("doc_id", sort=False).size().reset_index(name="m")
-        return pa.table({"doc_id": pa.array(g["doc_id"]
-                                            .to_numpy(np.int64)),
-                         "m": pa.array(g["m"].to_numpy(np.int64))})
+        ids = g["doc_id"].to_numpy(np.int64)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_spans": pa.array(z),
+                         "dup_tokens": pa.array(z),
+                         "m": pa.array(g["m"].to_numpy(np.int64)),
+                         "bucket": pa.array(_bk(ids))}, schema=_schema)
 
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_spans", pa.int64()),
+        ("dup_tokens", pa.int64()), ("total_tokens", pa.int64()),
+        ("dup_fraction", pa.float64())])
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", sort=False) \
+            .agg(n_spans=("n_spans", "sum"),
+                 dup_tokens=("dup_tokens", "sum"),
+                 m=("m", "sum")).reset_index()
+        agg = agg[agg["n_spans"] > 0]
+        if not len(agg):
+            return out_schema.empty_table()
+        total = agg["m"].to_numpy(np.int64) + (k - 1)
+        dup = agg["dup_tokens"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+            "n_spans": pa.array(agg["n_spans"].to_numpy(np.int64)),
+            "dup_tokens": pa.array(dup),
+            "total_tokens": pa.array(total),
+            "dup_fraction": pa.array(_round6(dup / total))},
+            schema=out_schema)
+
+    ckpt = dupspan_checkpoint(sf_dir, k)
     nb = max(1, sum(os.path.getsize(os.path.join(ckpt, f))
                     for f in os.listdir(ckpt)) >> 27)
     totals = rd.read_parquet(ckpt, columns=["doc_id"],
                              override_num_blocks=nb) \
-        .map_batches(tok_partial, batch_format="pyarrow") \
-        .groupby("doc_id").aggregate(Sum("m", alias_name="m"))
-    n_part = max(1, min(int(ray.cluster_resources().get("CPU", 8)),
-                        agg.count() // 4096 + 1))
-    j = agg.join(totals, "inner", n_part, on=("doc_id",))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        total = df["m"].to_numpy(np.int64) + (k - 1)
-        dup = df["dup_tokens"].to_numpy(np.int64)
-        return pa.table({
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
-            "n_spans": pa.array(df["n_spans"].to_numpy(np.int64)),
-            "dup_tokens": pa.array(dup),
-            "total_tokens": pa.array(total),
-            "dup_fraction": pa.array(_round6(dup / total))})
-
-    return j.map_batches(finish, batch_format="pyarrow")
+        .map_batches(tok_partial, batch_format="pyarrow")
+    rolled = spans.map_batches(roll, batch_format="pyarrow")
+    return rolled.union(totals).groupby("bucket") \
+        .map_groups(combine, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
