@@ -159,11 +159,16 @@ LAST_METRICS: dict[str, dict] = {}
 
 
 def _n_bits_for(n_rows: int) -> int:
-    """Signature width scales with log2(n) so the EXPECTED bucket size
-    (n / 2**bits) stays ~1024 — well under MAX_BUCKET — and a uniformly
-    loaded table can never silently trip the skip guard."""
+    """Signature width scales with log2(n) so the EXPECTED bucket
+    occupancy — INCLUDING the x(N_BITS+1) both-sides multiprobe
+    inflation — stays ~1024, well under MAX_BUCKET.  With occupancy
+    pinned, candidate volume stays LINEAR in n (buckets x occ^2/2 =
+    n x occ x T / 2), a uniformly loaded table can never silently trip
+    the skip guard, and the driver scales (<= a few thousand rows) keep
+    the same 8-bit setting the oracle equality was gated at."""
     import math
-    return max(N_BITS, math.ceil(math.log2(max(n_rows, 2) / 1024.0)))
+    return max(N_BITS, math.ceil(math.log2(
+        max(n_rows, 2) * (N_BITS + 1) / 1024.0)))
 
 
 def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
@@ -201,7 +206,7 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
         ids, m = _batch_matrix(batch)
         mn = _normalize(m)
         n = len(ids)
-        out_t, out_sig, out_id = [], [], []
+        out_t, out_id = [], []
         for t in range(N_TABLES):
             bits = (mn @ pl[t].T) > 0                          # (n, n_bits)
             sig = (bits.astype(np.uint64)
@@ -209,43 +214,69 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
             # exact sig + every 1-bit flip (multiprobe, both sides => d<=2)
             probes = np.concatenate([sig[:, None], sig[:, None] ^ bit_flips],
                                     axis=1)                    # (n, 1+bits)
-            out_t.append(np.full(n * (n_bits + 1), t, dtype=np.int64))
-            out_sig.append(probes.reshape(-1).astype(np.int64))
+            gk = (probes.reshape(-1)
+                  * np.uint64(0x9E3779B97F4A7C15)
+                  + np.uint64(t)).astype(np.int64)
+            out_t.append(gk)
             out_id.append(np.repeat(ids, n_bits + 1))
+        from .textops import _meta_bucket
+        gk_all = np.concatenate(out_t)
         return pa.table({
-            "table": pa.array(np.concatenate(out_t)),
-            "sig": pa.array(np.concatenate(out_sig)),
-            "vec_id": pa.array(np.concatenate(out_id))})
+            "gk": pa.array(gk_all),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "mb": pa.array(_meta_bucket(gk_all))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.unique(g["vec_id"].to_numpy())
-        if len(ids) < 2:
-            return _PAIR_SCHEMA.empty_table()
-        if len(ids) > max_bucket:
-            import logging
-            logging.getLogger(__name__).warning(
-                "cosine_pairs_lsh: skipping hot bucket with %d docs (> %d)",
-                len(ids), max_bucket)
-            # sentinel row: vec_a = -(bucket size), vec_b = unique bucket key
-            key = (int(g["sig"].iat[0]) * 0x9E3779B97F4A7C15
-                   + int(g["table"].iat[0])) & ((1 << 64) - 1)
-            key = key - (1 << 64) if key >= (1 << 63) else key
-            return pa.table({"vec_a": pa.array([-len(ids)], type=pa.int64()),
-                             "vec_b": pa.array([key], type=pa.int64())})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pa.table({"vec_a": pa.array(ids[i], type=pa.int64()),
-                         "vec_b": pa.array(ids[j], type=pa.int64())})
+    def mine(g: pd.DataFrame) -> pa.Table:
+        # all-pairs per (table, sig) bucket inside one META-bucket: Ray's
+        # per-key map_groups / aggregate() pay per-GROUP overhead, so
+        # bucket-key-cardinality groupbys are the slow path (see
+        # textops._REDUCE_BUCKETS); the only Python loop here is over
+        # buckets that actually hold >= 2 docs
+        gk = g["gk"].to_numpy(np.int64)
+        ids = g["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, gk))
+        gk, ids = gk[order], ids[order]
+        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
+        gk, ids = gk[keep], ids[keep]
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        ends = np.r_[starts[1:], len(gk)]
+        sizes = ends - starts
+        tbls = []
+        for st, en in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            n = int(en - st)
+            if n > max_bucket:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "cosine_pairs_lsh: skipping hot bucket with %d docs "
+                    "(> %d)", n, max_bucket)
+                tbls.append(pa.table(
+                    {"vec_a": pa.array([-n], type=pa.int64()),
+                     "vec_b": pa.array([int(gk[st])], type=pa.int64())}))
+                continue
+            i, j = np.triu_indices(n, k=1)
+            tbls.append(pa.table(
+                {"vec_a": pa.array(ids[st:en][i], type=pa.int64()),
+                 "vec_b": pa.array(ids[st:en][j], type=pa.int64())}))
+        return pa.concat_tables(tbls) if tbls else _PAIR_SCHEMA.empty_table()
+
+    def dedup(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["vec_a", "vec_b"])
+        return pa.table({"vec_a": pa.array(d["vec_a"].to_numpy(np.int64)),
+                         "vec_b": pa.array(d["vec_b"].to_numpy(np.int64))})
+
+    def bucketize_pairs(b: pa.Table) -> pa.Table:
+        from .textops import _meta_bucket
+        a = b["vec_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["vec_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_mb", pa.array(_meta_bucket(
+                a * np.uint64(0x9E3779B97F4A7C15) + bb), type=pa.int64()))
 
     sigs = read_embeddings(sf_dir).map_batches(sign_batch,
                                                batch_format="pyarrow")
-    cand = sigs.groupby(["table", "sig"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # distributed dedup of cross-table duplicate candidates: a vectorized
-    # hash aggregate (one row per pair), NOT map_groups (a Python call per
-    # pair-group is the slow path)
-    from ray.data.aggregate import Count
-    cand = cand.groupby(["vec_a", "vec_b"]) \
-        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    cand = sigs.groupby("mb").map_groups(mine, batch_format="pandas") \
+        .map_batches(bucketize_pairs, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(dedup, batch_format="pandas")
     cand = _split_cap_sentinels(cand, "cosine_pairs_lsh", "vec_a")
     # Ray's join finalizer crashes on an EMPTY left dataset (empty
     # partitions are fine — verified incl. hub keys): bail on zero
@@ -255,7 +286,9 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
     if n_cand == 0:
         return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
                              "vec_b": pd.Series(dtype=np.int64)})
-    num_partitions = max(1, min(num_partitions, n_cand // 256))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = int(np.clip(n_cand // 50_000 + 1, 1,
+                                 max(1, min(cpus, n_cand // 256))))
 
     def pack(batch: pa.Table) -> pa.Table:
         # acero (the join kernel) rejects list<float> non-key payloads:

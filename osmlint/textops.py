@@ -196,11 +196,21 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
             hi[i] = int.from_bytes(d[:8], "little", signed=True)
             lo[i] = int.from_bytes(d[8:], "little", signed=True)
         return pa.table({"fp_hi": pa.array(hi), "fp_lo": pa.array(lo),
-                         "doc_id": pa.array(df["doc_id"].to_numpy(np.int64))})
+                         "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                         "mb": pa.array(_meta_bucket(hi))})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        # fingerprint-cardinality reduce via meta-bucket (per-GROUP
+        # overhead rule, see _REDUCE_BUCKETS); the bucket holds EVERY row
+        # of its fingerprints, so one C-level groupby is exact
+        d = g.groupby(["fp_hi", "fp_lo"], sort=False)["doc_id"] \
+            .agg(["min", "size"]).reset_index()
+        return pa.table({"doc_id": pa.array(d["min"].to_numpy(np.int64)),
+                         "n_copies": pa.array(d["size"]
+                                              .to_numpy(np.int64))})
 
     agg = read_docs(sf_dir).map_batches(fp, batch_format="pyarrow") \
-        .groupby(["fp_hi", "fp_lo"]).aggregate(
-            Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .groupby("mb").map_groups(combine, batch_format="pandas")
     df = agg.to_pandas()[["doc_id", "n_copies"]]
     df["doc_id"] = df["doc_id"].astype(np.int64)
     df["n_copies"] = df["n_copies"].astype(np.int64)
@@ -429,8 +439,10 @@ def simhash_docs(sf_dir: str) -> rd.Dataset:
 
 
 def band_explode(batch: pa.Table) -> pa.Table:
-    """packed signature -> (band, bucket, doc_id) keys; ~N_BANDS 24-byte
-    rows per doc — the shingle payload does NOT ride the shuffle."""
+    """packed signature -> (gk, doc_id, mb) keys, gk mixing (band,
+    bucket-hash) into one int64; ~N_BANDS 24-byte rows per doc — the
+    shingle payload does NOT ride the shuffle, and the shuffle key is the
+    BOUNDED meta-bucket (see _meta_bucket), not the bucket itself."""
     mh, _ = _unpack_binary_i64(batch, "mh")
     n = batch.num_rows
     sigs = mh.reshape(n, N_PERM)
@@ -439,11 +451,14 @@ def band_explode(batch: pa.Table) -> pa.Table:
     bucket = bands[:, :, 0]
     for r in range(1, rows_per):
         bucket = bucket * _PRIME + bands[:, :, r]
+    gk = (bucket * _PRIME
+          + np.arange(N_BANDS, dtype=np.uint64)[None, :]).reshape(-1) \
+        .astype(np.int64)
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int64), n)),
-        "bucket": pa.array(bucket.reshape(-1).astype(np.int64)),
+        "gk": pa.array(gk),
         "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+        "mb": pa.array(_meta_bucket(gk)),
     })
 
 
@@ -469,17 +484,41 @@ def _mix_key(a: int, b: int) -> int:
     return k - (1 << 64) if k >= (1 << 63) else k
 
 
-def _bucket_pairs(g: pd.DataFrame, cap: int = MAX_POSTING) -> pa.Table:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return _PAIR_SCHEMA.empty_table()
-    if len(ids) > cap:
-        key = _mix_key(g["bucket"].iat[0], g["band"].iat[0])
-        return _skip_sentinel(len(ids), key, "minhash bucket", _PAIR_SCHEMA,
-                              cap)
-    i, j = np.triu_indices(len(ids), k=1)
-    return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
-                     "doc_b": pa.array(ids[j], type=pa.int64())})
+def _meta_bucket(keys: np.ndarray) -> np.ndarray:
+    """Hash a group-key column down to a BOUNDED bucket id: every
+    key-cardinality groupby in the engine reduces via
+    ``groupby(bucket).map_groups`` with a vectorized in-group kernel —
+    Ray's aggregate()/map_groups pay per-GROUP overhead, measured ~100x
+    slower at 237k groups than 256 buckets (see _REDUCE_BUCKETS)."""
+    return ((keys.astype(np.uint64) * _PRIME) >> np.uint64(40)) \
+        .astype(np.int64) % _REDUCE_BUCKETS
+
+
+def _mine_bucket_pairs(gk: np.ndarray, ids: np.ndarray, cap: int,
+                       what: str) -> pa.Table:
+    """All-pairs within each gk-group of one meta-bucket: columnar
+    (gk, doc) dedup + boundary scan; the only loop is over groups that
+    actually hold >= 2 docs (bounded by duplicate volume, not input)."""
+    order = np.lexsort((ids, gk))
+    k, v = gk[order], ids[order]
+    keep = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
+    k, v = k[keep], v[keep]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    sizes = ends - starts
+    tbls = []
+    for st, en in zip(starts[sizes >= 2], ends[sizes >= 2]):
+        n = int(en - st)
+        if n > cap:
+            tbls.append(_skip_sentinel(n, int(k[st]), what,
+                                       _PAIR_SCHEMA, cap))
+            continue
+        i, j = np.triu_indices(n, k=1)
+        tbls.append(pa.table({"doc_a": pa.array(v[st:en][i],
+                                                type=pa.int64()),
+                              "doc_b": pa.array(v[st:en][j],
+                                                type=pa.int64())}))
+    return pa.concat_tables(tbls) if tbls else _PAIR_SCHEMA.empty_table()
 
 
 def _verify_jaccard_ds(cand: rd.Dataset, packed: rd.Dataset, tau: float,
@@ -498,7 +537,13 @@ def _verify_jaccard_ds(cand: rd.Dataset, packed: rd.Dataset, tau: float,
     n_cand = cand.count()
     if n_cand == 0:
         return None
-    num_partitions = max(1, min(num_partitions, n_cand // 256))
+    # partitions scale with candidate volume: each pair drags BOTH packed
+    # shingle blobs through the join, so a candidate-heavy corpus (1.1M
+    # pairs at sf0.1) on a handful of partitions serializes the verify —
+    # ~50k pairs per partition, capped by what the cluster can schedule
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = int(np.clip(n_cand // 50_000 + 1, 1,
+                                 max(1, min(cpus, n_cand // 256))))
     joined = cand.join(packed, "inner", num_partitions,
                        on=("doc_a",), right_on=("doc_id",))
     joined = joined.join(packed, "inner", num_partitions,
@@ -553,10 +598,23 @@ def _verify_jaccard(cand: rd.Dataset, packed: rd.Dataset, tau: float,
 
 
 def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
-    """One row per (doc_a, doc_b): vectorized hash aggregate, NOT a
-    per-pair map_groups."""
-    return ds.groupby(["doc_a", "doc_b"]) \
-        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    """One row per (doc_a, doc_b): meta-bucket groupby + C-level pandas
+    dedup inside — NOT a pair-cardinality aggregate() (per-GROUP
+    overhead) and NOT a per-pair map_groups."""
+    def bucketize(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
+                            type=pa.int64()))
+
+    def dd(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table({"doc_a": pa.array(d["doc_a"].to_numpy(np.int64)),
+                         "doc_b": pa.array(d["doc_b"].to_numpy(np.int64))})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(dd, batch_format="pandas")
 
 
 def _minhash_verified_ds(sf_dir: str, tau: float,
@@ -569,8 +627,14 @@ def _minhash_verified_ds(sf_dir: str, tau: float,
     so each caller's skip counters stay distinguishable."""
     bands = read_shingles(sf_dir, ["doc_id", "mh"]) \
         .map_batches(band_explode, batch_format="pyarrow")
-    cand = _dedup_pairs(bands.groupby(["band", "bucket"]).map_groups(
-        lambda g: _bucket_pairs(g, cap), batch_format="pandas"))
+
+    def mine(g: pd.DataFrame) -> pa.Table:
+        return _mine_bucket_pairs(g["gk"].to_numpy(np.int64),
+                                  g["doc_id"].to_numpy(np.int64),
+                                  cap, "minhash bucket")
+
+    cand = _dedup_pairs(bands.groupby("mb").map_groups(
+        mine, batch_format="pandas"))
     cand = split_cap_sentinels(cand, LAST_METRICS, metrics_key, "doc_a",
                                _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
@@ -605,30 +669,88 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3,
     least one n-gram) up to the hot-posting cap — skips are counted in
     ``LAST_METRICS['dedup_ngram_jaccard']`` — unlike ``minhash_dup_pairs``
     whose recall is band-limited."""
+    _CSZ_SCHEMA = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("sz_a", pa.int64()), ("sz_b", pa.int64())])
+
     def postings(batch: pa.Table) -> pa.Table:
         h, offsets = _unpack_binary_i64(batch, "sh")
-        seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
-                        np.diff(offsets))
+        sizes = np.diff(offsets)
+        seg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), sizes)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "ngram": pa.array(h, type=pa.int64()),
-            "doc_id": pa.array(ids[seg])})
+            "doc_id": pa.array(ids[seg]),
+            "sz": pa.array(sizes[seg]),
+            "mb": pa.array(_meta_bucket(h))})
 
-    def posting_pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return _PAIR_SCHEMA.empty_table()
-        if len(ids) > cap:
-            return _skip_sentinel(len(ids), int(g["ngram"].iat[0]),
-                                  "n-gram posting", _PAIR_SCHEMA, cap)
-        i, j = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[i], type=pa.int64()),
-                         "doc_b": pa.array(ids[j], type=pa.int64())})
+    def mine(g: pd.DataFrame) -> pa.Table:
+        # one (doc_a, doc_b, sz_a, sz_b) row PER SHARED NGRAM: the
+        # multiplicity is the exact |A n B|, so the count step below
+        # prefilters with the exact Jaccard before any blob join
+        gk = g["ngram"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        sz = g["sz"].to_numpy(np.int64)
+        order = np.lexsort((ids, gk))
+        gk, ids, sz = gk[order], ids[order], sz[order]
+        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
+        gk, ids, sz = gk[keep], ids[keep], sz[keep]
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        ends = np.r_[starts[1:], len(gk)]
+        gsz = ends - starts
+        tbls = []
+        for st, en in zip(starts[gsz >= 2], ends[gsz >= 2]):
+            n = int(en - st)
+            if n > cap:
+                tbls.append(_skip_sentinel(n, int(gk[st]),
+                                           "n-gram posting",
+                                           _CSZ_SCHEMA, cap))
+                continue
+            i, j = np.triu_indices(n, k=1)
+            tbls.append(pa.table(
+                {"doc_a": pa.array(ids[st:en][i], type=pa.int64()),
+                 "doc_b": pa.array(ids[st:en][j], type=pa.int64()),
+                 "sz_a": pa.array(sz[st:en][i], type=pa.int64()),
+                 "sz_b": pa.array(sz[st:en][j], type=pa.int64())},
+                schema=_CSZ_SCHEMA))
+        return pa.concat_tables(tbls) if tbls else _CSZ_SCHEMA.empty_table()
+
+    def count_prefilter(g: pd.DataFrame) -> pa.Table:
+        # shared-gram count == exact intersection size (absent caps), so
+        # jac = c / (sz_a + sz_b - c) prefilters with the FINAL formula;
+        # survivors still go through the authoritative blob verify, which
+        # keeps reported values exact even when a hot posting was capped
+        # (a capped posting can undercount c here — same recall-loss
+        # class the cap itself introduces, and it is counted/logged)
+        sent = g[g["doc_a"] < 0]
+        d = g[g["doc_a"] >= 0].groupby(["doc_a", "doc_b"], sort=False) \
+            .agg(c=("sz_a", "size"), sz_a=("sz_a", "first"),
+                 sz_b=("sz_b", "first")).reset_index()
+        c = d["c"].to_numpy(np.int64)
+        union = d["sz_a"].to_numpy(np.int64) \
+            + d["sz_b"].to_numpy(np.int64) - c
+        d = d[c / np.maximum(union, 1) >= tau]
+        out = pa.table({"doc_a": pa.array(d["doc_a"].to_numpy(np.int64)),
+                        "doc_b": pa.array(d["doc_b"].to_numpy(np.int64))})
+        if len(sent):
+            sent = sent.drop_duplicates(["doc_a", "doc_b"])
+            out = pa.concat_tables([out, pa.table(
+                {"doc_a": pa.array(sent["doc_a"].to_numpy(np.int64)),
+                 "doc_b": pa.array(sent["doc_b"].to_numpy(np.int64))})])
+        return out
+
+    def bucketize_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
+                            type=pa.int64()))
 
     posts = read_shingles(sf_dir, ["doc_id", "sh"]) \
         .map_batches(postings, batch_format="pyarrow")
-    cand = _dedup_pairs(posts.groupby("ngram").map_groups(
-        posting_pairs, batch_format="pandas"))
+    cand = posts.groupby("mb").map_groups(mine, batch_format="pandas") \
+        .map_batches(bucketize_pairs, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(count_prefilter, batch_format="pandas")
     cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_ngram_jaccard",
                                "doc_a", _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
@@ -666,43 +788,75 @@ def simhash_dup_pairs(sf_dir: str,
         n = len(ids)
         shifts = (np.arange(n_blocks, dtype=np.uint64) * np.uint64(width))
         mask = np.uint64((1 << width) - 1)
-        keys = ((sims[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+        keys = ((sims[:, None] >> shifts[None, :]) & mask)
+        gk = (keys * _PRIME
+              + np.arange(n_blocks, dtype=np.uint64)[None, :]) \
+            .reshape(-1).astype(np.int64)
         return pa.table({
-            "block": pa.array(np.tile(np.arange(n_blocks, dtype=np.int64), n)),
-            "key": pa.array(keys.reshape(-1)),
+            "gk": pa.array(gk),
             "doc_id": pa.array(np.repeat(ids, n_blocks), type=pa.int64()),
-            "simhash": pa.array(np.repeat(sims, n_blocks).astype(np.int64))})
+            "simhash": pa.array(np.repeat(sims, n_blocks).astype(np.int64)),
+            "mb": pa.array(_meta_bucket(gk))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2:
-            return _SIMPAIR_SCHEMA.empty_table()
-        if len(g) > cap:
-            key = _mix_key(g["key"].iat[0], g["block"].iat[0])
-            return _skip_sentinel(len(g), key, "simhash bucket",
-                                  _SIMPAIR_SCHEMA, cap)
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids = g["doc_id"].to_numpy()[order]
-        sh = g["simhash"].to_numpy().astype(np.uint64)[order]
-        i, j = np.triu_indices(len(ids), k=1)
-        x = sh[i] ^ sh[j]
+    def popcount(x: np.ndarray) -> np.ndarray:
         ham = np.zeros(len(x), dtype=np.int64)
         for s in range(0, 64, 8):                       # vectorized popcount
             ham += np.unpackbits(((x >> np.uint64(s)) & np.uint64(0xFF))
                                  .astype(np.uint8)[:, None], axis=1) \
                 .sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
-        return pa.table({"doc_a": pa.array(ids[i][keep], type=pa.int64()),
-                         "doc_b": pa.array(ids[j][keep], type=pa.int64()),
-                         "hamming": pa.array(ham[keep], type=pa.int64())})
+        return ham
+
+    def mine(g: pd.DataFrame) -> pa.Table:
+        gk = g["gk"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        sh = g["simhash"].to_numpy(np.int64)
+        order = np.lexsort((ids, gk))
+        gk, ids, sh = gk[order], ids[order], sh[order]
+        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
+        gk, ids, sh = gk[keep], ids[keep], sh[keep].astype(np.uint64)
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        ends = np.r_[starts[1:], len(gk)]
+        sizes = ends - starts
+        tbls = []
+        for st, en in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            n = int(en - st)
+            if n > cap:
+                tbls.append(_skip_sentinel(n, int(gk[st]), "simhash bucket",
+                                           _SIMPAIR_SCHEMA, cap))
+                continue
+            i, j = np.triu_indices(n, k=1)
+            x = sh[st:en][i] ^ sh[st:en][j]
+            ham = popcount(x)
+            m = ham <= max_hamming
+            tbls.append(pa.table({
+                "doc_a": pa.array(ids[st:en][i][m], type=pa.int64()),
+                "doc_b": pa.array(ids[st:en][j][m], type=pa.int64()),
+                "hamming": pa.array(ham[m], type=pa.int64())}))
+        return pa.concat_tables(tbls) if tbls \
+            else _SIMPAIR_SCHEMA.empty_table()
 
     sims = read_shingles(sf_dir, ["doc_id", "simhash"])
     cand = sims.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["block", "key"]).map_groups(bucket_pairs,
-                                              batch_format="pandas")
-    from ray.data.aggregate import Min
-    df = cand.groupby(["doc_a", "doc_b"]) \
-        .aggregate(Min("hamming", alias_name="hamming")).to_pandas()
+        .groupby("mb").map_groups(mine, batch_format="pandas")
+
+    def bucketize_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
+                            type=pa.int64()))
+
+    def min_ham(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min() \
+            .reset_index()
+        return pa.table({"doc_a": pa.array(d["doc_a"].to_numpy(np.int64)),
+                         "doc_b": pa.array(d["doc_b"].to_numpy(np.int64)),
+                         "hamming": pa.array(d["hamming"]
+                                             .to_numpy(np.int64))})
+
+    df = cand.map_batches(bucketize_pairs, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(min_ham, batch_format="pandas") \
+        .to_pandas()
     sent = df[df["doc_a"] < 0] if len(df) else df
     LAST_METRICS["dedup_simhash"] = {
         "skipped_buckets": int(len(sent)),
@@ -1541,12 +1695,13 @@ _DUPSPAN_CKPT: dict = caches.register({})
 _DUPKEY_CACHE: dict = caches.register({})
 _DUPSPAN_CKPT_VERSION = 1
 
-#: bucket count for the high-cardinality gram-key reduces.  Ray's
-#: ``groupby().aggregate()`` pays per-GROUP overhead in its sort-based
-#: finalizer — a 237k-group aggregate measured ~100x slower than 64
-#: bucket groups with a C-level pandas combine inside map_groups.  At
-#: scale, raise via more buckets (each bucket must fit one worker task).
-_DUPSPAN_BUCKETS = 256
+#: bucket count for EVERY high-cardinality reduce in the engine.  Ray's
+#: ``groupby().aggregate()`` and per-key ``map_groups`` pay per-GROUP
+#: overhead in the sort-based finalizer — a 237k-group aggregate measured
+#: ~100x slower than bounded bucket groups with a C-level pandas/numpy
+#: combine inside map_groups.  At scale, raise via more buckets (each
+#: bucket must fit one worker task).
+_REDUCE_BUCKETS = 256
 
 
 def dupspan_postings_batch(batch: pa.Table, k: int = DUPSPAN_K) -> pa.Table:
@@ -1668,7 +1823,7 @@ def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
             .agg(["min", "max"]).reset_index()
         h1 = agg["h1"].to_numpy(np.int64)
         bk = ((h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(40)).astype(np.int64) % _DUPSPAN_BUCKETS
+              >> np.uint64(40)).astype(np.int64) % _REDUCE_BUCKETS
         return pa.table({"h1": pa.array(h1),
                          "h2": pa.array(agg["h2"].to_numpy(np.int64)),
                          "dmin": pa.array(agg["min"].to_numpy(np.int64)),
@@ -1799,10 +1954,10 @@ def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         # bigram-vocab-cardinality keys: bucket reduce, not aggregate()
-        # (per-GROUP overhead, see _DUPSPAN_BUCKETS)
+        # (per-GROUP overhead, see _REDUCE_BUCKETS)
         w1 = batch["w1"].to_pandas()
         bk = (pd.util.hash_array(w1.to_numpy(dtype=object))
-              % _DUPSPAN_BUCKETS).astype(np.int64)
+              % _REDUCE_BUCKETS).astype(np.int64)
         return batch.append_column("bucket", pa.array(bk, type=pa.int64()))
 
     def bucket_sum(g: pd.DataFrame) -> pa.Table:
@@ -1990,11 +2145,11 @@ def distinct_token_counts(sf_dir: str) -> pd.DataFrame:
 
     def bucketize(batch: pa.Table) -> pa.Table:
         # vocab-cardinality keys NEVER hit groupby.aggregate() (per-GROUP
-        # overhead, see _DUPSPAN_BUCKETS): bucket on the token hash and
+        # overhead, see _REDUCE_BUCKETS): bucket on the token hash and
         # dedup+count inside the group with C-level pandas
         h1 = batch["h1"].to_numpy(zero_copy_only=False)
         bk = ((h1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-              >> np.uint64(40)).astype(np.int64) % _DUPSPAN_BUCKETS
+              >> np.uint64(40)).astype(np.int64) % _REDUCE_BUCKETS
         return batch.append_column("bucket", pa.array(bk, type=pa.int64()))
 
     def bucket_count(g: pd.DataFrame) -> pa.Table:
@@ -2025,7 +2180,7 @@ def dup_span_stats(sf_dir: str, k: int = DUPSPAN_K) -> rd.Dataset:
     the span<->total alignment happen in ONE doc-bucket groupby over the
     union of the two partial streams (aligned schemas, zero-filled
     columns) — no high-cardinality aggregate (per-GROUP overhead, see
-    ``_DUPSPAN_BUCKETS``), no join."""
+    ``_REDUCE_BUCKETS``), no join."""
     spans = dup_spans(sf_dir, k)
     _schema = pa.schema([("doc_id", pa.int64()), ("n_spans", pa.int64()),
                          ("dup_tokens", pa.int64()), ("m", pa.int64()),
@@ -2033,7 +2188,7 @@ def dup_span_stats(sf_dir: str, k: int = DUPSPAN_K) -> rd.Dataset:
 
     def _bk(ids: np.ndarray) -> np.ndarray:
         return ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                >> np.uint64(40)).astype(np.int64) % _DUPSPAN_BUCKETS
+                >> np.uint64(40)).astype(np.int64) % _REDUCE_BUCKETS
 
     def roll(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
