@@ -223,3 +223,98 @@ def funnel(sf_dir: str, n_buckets: int = 64,
                                pd.Series(dtype="datetime64[us]"),
                            "delay_us": pd.Series(dtype="Int64")})
     return df.sort_values("user_id").reset_index(drop=True)
+
+
+RANGE_JOIN_SOURCES = ("view", "click")
+#: browse-window granularity for the range join — wider than the 30-min
+#: sessionize gap on purpose: attribution windows, not activity sessions
+RANGE_GAP_MIN = 240
+
+
+def range_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Interval/range join (the second ordered custom operator Ray Data
+    lacks natively, next to the as-of join): each ``purchase`` is joined
+    to the user's BROWSE session — view/click events sessionized with the
+    30-min gap rule — whose ``[start_ts, end_ts]`` interval contains it
+    (inclusive; browse sessions are disjoint per user, so at most one
+    match).  Purchases outside any browse window are dropped.
+
+    Same 100 TB shape as the as-of join: non-participating event types
+    are filtered per batch before the shuffle, a user-hash-bucket groupby
+    colocates each user's events, and the in-group probe is one
+    ``searchsorted`` against the session-start array — no per-event
+    Python, no global sort."""
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+    gap = np.timedelta64(RANGE_GAP_MIN, "m")
+    wanted = RANGE_JOIN_SOURCES + ("purchase",)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_in(batch["event_type"],
+                                      value_set=pa.array(list(wanted))))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % n_buckets
+        return batch.append_column("_b", pa.array(b, type=pa.int64())) \
+            .replace_schema_metadata(None)
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("sess_start", pa.timestamp("us")),
+        ("sess_end", pa.timestamp("us"))])
+
+    def probe(g: pd.DataFrame) -> pa.Table:
+        src = g[g["event_type"].isin(RANGE_JOIN_SOURCES)] \
+            .sort_values(["user_id", "ts"], kind="stable")
+        p = g[g["event_type"] == "purchase"]
+        if not len(src) or not len(p):
+            return out_schema.empty_table()
+        ts = src["ts"].to_numpy()
+        uid = src["user_id"].to_numpy()
+        new_sess = np.r_[True, (uid[1:] != uid[:-1])
+                         | ((ts[1:] - ts[:-1]) > gap)]
+        sid = np.cumsum(new_sess) - 1
+        starts = ts[new_sess]
+        last = np.r_[np.flatnonzero(new_sess)[1:] - 1, len(ts) - 1]
+        ends = ts[last]
+        sess_uid = uid[new_sess]
+        # probe per user: sessions sorted by (user, start) globally;
+        # restrict the searchsorted to each user's slice via the session
+        # owner array (sessions are disjoint within a user)
+        order = np.lexsort((p["ts"].to_numpy(), p["user_id"].to_numpy()))
+        pe = p.iloc[order]
+        pts = pe["ts"].to_numpy()
+        puid = pe["user_id"].to_numpy(np.int64)
+        # lexicographic (user, start) probe via the structured-dtype
+        # searchsorted (exact int64 comparisons — no float key mixing)
+        key_u = sess_uid.astype(np.int64)
+        kb = np.ascontiguousarray(np.column_stack(
+            [key_u, starts.astype("datetime64[us]").astype(np.int64)])) \
+            .view([("u", "<i8"), ("t", "<i8")]).ravel()
+        qb = np.ascontiguousarray(np.column_stack(
+            [puid, pts.astype("datetime64[us]").astype(np.int64)])) \
+            .view([("u", "<i8"), ("t", "<i8")]).ravel()
+        idx = np.searchsorted(kb, qb, side="right") - 1
+        ok = idx >= 0
+        idx = np.maximum(idx, 0)
+        ok &= (key_u[idx] == puid) & (pts <= ends[idx])
+        return pa.table({
+            "event_id": pa.array(pe["event_id"].to_numpy(np.int64)[ok]),
+            "user_id": pa.array(puid[ok]),
+            "ts": pa.array(pts[ok].astype("datetime64[us]")),
+            "sess_start": pa.array(starts[idx[ok]]
+                                   .astype("datetime64[us]")),
+            "sess_end": pa.array(ends[idx[ok]].astype("datetime64[us]"))},
+            schema=out_schema)
+
+    res = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_b").map_groups(probe, batch_format="pandas"))
+    df = res.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                           "user_id": pd.Series(dtype=np.int64),
+                           "ts": pd.Series(dtype="datetime64[us]"),
+                           "sess_start": pd.Series(dtype="datetime64[us]"),
+                           "sess_end": pd.Series(dtype="datetime64[us]")})
+    return df.sort_values("event_id").reset_index(drop=True)

@@ -1554,3 +1554,33 @@ SELECT d.doc_id,
        floor(coalesce(h.h, 0.0) * 1e6 + 0.5) / 1e6 AS entropy
 FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN h USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+def events_range_join_sql(sources: tuple, gap_min: int) -> str:
+    """Interval join: purchases to the containing browse session
+    (view/click sessionized at the gap rule); BETWEEN is inclusive on
+    both ends, sessions are disjoint per user."""
+    srcs = ", ".join(f"'{s}'" for s in sources)
+    return f"""
+WITH src AS (
+  SELECT user_id, ts FROM events WHERE event_type IN ({srcs})
+), d AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {gap_min} MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), sess AS (
+  SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end
+  FROM s GROUP BY user_id, sid
+)
+SELECT p.event_id, p.user_id, p.ts, sess.sess_start, sess.sess_end
+FROM events p
+JOIN sess ON p.user_id = sess.user_id
+         AND p.ts BETWEEN sess.sess_start AND sess.sess_end
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id"""

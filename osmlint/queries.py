@@ -316,6 +316,11 @@ def events_funnel(sf_dir: str):
     return eventops.funnel(sf_dir)
 
 
+def events_range_join(sf_dir: str):
+    from . import eventops
+    return eventops.range_join(sf_dir)
+
+
 def media_features(sf_dir: str):
     from . import media
     return media.media_features(_synth(sf_dir))
@@ -449,6 +454,7 @@ def ray_queries() -> dict:
         "events_sessionize": events_sessionize,
         "events_asof_attribution": events_asof_attribution,
         "events_funnel": events_funnel,
+        "events_range_join": events_range_join,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
@@ -560,6 +566,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_funnel": oracle_sql.events_funnel_sql(
             _eventops().FUNNEL_STEP_A, _eventops().FUNNEL_STEP_B,
             _eventops().FUNNEL_WINDOW_DAYS),
+        "events_range_join": oracle_sql.events_range_join_sql(
+            _eventops().RANGE_JOIN_SOURCES, _eventops().RANGE_GAP_MIN),
         "media_features": oracle_sql.media_features_sql(d),
         "media_resize": oracle_sql.media_resize_sql(d),
         "media_frame_sample": oracle_sql.media_frame_sample_sql(d),

@@ -204,3 +204,38 @@ def test_ivf_fullprobe_equals_exact(ray_session):
     pd.testing.assert_frame_equal(
         exact.reset_index(drop=True)[["query_id", "neighbor_id", "rank"]],
         full.reset_index(drop=True)[["query_id", "neighbor_id", "rank"]])
+
+
+def test_events_range_join_semantics(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from osmlint import eventops
+    d = tmp_path / "rj"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    mins = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: browse window [t0, t0+10min]
+        (1, t0, 1, "view"), (2, t0 + 10 * mins, 1, "click"),
+        (3, t0 + 5 * mins, 1, "purchase"),        # inside
+        (4, t0 + 10 * mins, 1, "purchase"),       # boundary: inclusive
+        (5, t0 + 1000 * mins, 1, "purchase"),     # far outside
+        # user 2: purchase, no browse events at all
+        (6, t0, 2, "purchase"),
+        # user 3: two windows split by a > RANGE_GAP_MIN gap
+        (7, t0, 3, "view"),
+        (8, t0 + (eventops.RANGE_GAP_MIN + 10) * mins, 3, "view"),
+        (9, t0 + (eventops.RANGE_GAP_MIN + 10) * mins, 3, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    out = eventops.range_join(str(d))
+    assert list(out["event_id"]) == [3, 4, 9]
+    # event 9 lands in user 3's SECOND (single-event) window
+    row9 = out.set_index("event_id").loc[9]
+    assert row9["sess_start"] == row9["ts"] == row9["sess_end"]
