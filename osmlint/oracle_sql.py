@@ -1584,3 +1584,32 @@ JOIN sess ON p.user_id = sess.user_id
          AND p.ts BETWEEN sess.sess_start AND sess.sess_end
 WHERE p.event_type = 'purchase'
 ORDER BY p.event_id"""
+
+
+def corpus_mix_sql(weights: dict, default_w: float) -> str:
+    """Mixture downsampling with data-derived rates: the threshold is
+    computed in SQL with the SAME double arithmetic as the Ray side
+    ((T * w) / n, T = min(n / w)); rates >= 1 map to 'g' (the
+    corpus_sample rule: 'g' > every hex digit keeps all docs)."""
+    when = " ".join(f"WHEN '{s}' THEN {w!r}" for s, w in weights.items())
+    return f"""
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n,
+         CASE source {when} ELSE {default_w!r} END AS w
+  FROM cnt
+), t AS (SELECT min(n / w) AS t FROM w),
+thr AS (
+  SELECT source,
+         CASE WHEN (t.t * w) / n >= 1.0 THEN 'g'
+              ELSE printf('%08x',
+                          CAST(floor(((t.t * w) / n) * 4294967296.0)
+                               AS BIGINT)) END AS hex
+  FROM w CROSS JOIN t
+)
+SELECT d.doc_id, d.source FROM documents d
+JOIN thr USING (source)
+WHERE substr(md5('m:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.hex
+ORDER BY d.doc_id"""

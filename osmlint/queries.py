@@ -230,6 +230,11 @@ def corpus_sample(sf_dir: str):
     return textops.corpus_sample(sf_dir)
 
 
+def corpus_mix(sf_dir: str):
+    from . import textops
+    return textops.corpus_mix(sf_dir)
+
+
 def doc_chunks(sf_dir: str):
     from . import textops
     return textops.doc_chunks(sf_dir)
@@ -438,6 +443,7 @@ def ray_queries() -> dict:
         "token_quantiles": token_quantiles,
         "corpus_redact": corpus_redact,
         "corpus_sample": corpus_sample,
+        "corpus_mix": corpus_mix,
         "doc_chunks": doc_chunks,
         "dedup_apply": dedup_apply,
         "top_quality_docs": top_quality_docs,
@@ -543,6 +549,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
              for k, v in _textops().SAMPLE_RATES.items()},
             _textops()._rate_hex(_textops().SAMPLE_DEFAULT_RATE)),
         "doc_chunks": oracle_sql.doc_chunks_sql(_textops().CHUNK_TOKENS),
+        "corpus_mix": oracle_sql.corpus_mix_sql(
+            _textops().MIX_WEIGHTS, _textops().MIX_DEFAULT_WEIGHT),
         "dedup_apply": oracle_sql.dedup_apply_sql(0.5),
         "top_quality_docs": oracle_sql.top_quality_docs_sql(
             _textops().TOP_QUALITY_N),

@@ -2285,3 +2285,56 @@ def token_entropy(sf_dir: str) -> rd.Dataset:
             "entropy": pa.array(_round6(entropy))})
 
     return read_docs(sf_dir).map_batches(ent, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# mixture weighting: downsample sources to a target corpus mix
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0}
+MIX_DEFAULT_WEIGHT = 1.0
+
+
+def corpus_mix(sf_dir: str, weights: dict = MIX_WEIGHTS,
+               default_w: float = MIX_DEFAULT_WEIGHT) -> rd.Dataset:
+    """Deterministic mixture weighting: downsample each ``source`` so the
+    kept corpus matches the target source shares — the data-mixing step
+    of a pretraining pipeline (c.f. The Pile / DoReMi-style static
+    mixes), with no source oversampled (rates are capped at 1).
+
+    The largest feasible mixed corpus keeps T = min_s(n_s / w_s) docs
+    per weight unit; source s keeps rate (T * w_s) / n_s via the same
+    fixed-width md5-hex threshold trick as ``corpus_split`` /
+    ``corpus_sample`` (prefix 'm:' decorrelates from both).  Pass 1 is a
+    #sources-bounded count; pass 2 is a stateless filter with the tiny
+    broadcast threshold map — same double arithmetic as the SQL oracle,
+    so thresholds agree bitwise."""
+    def cpartial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("source", sort=False).size().reset_index(name="n")
+        return pa.table({"source": pa.array(g["source"].astype(str)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    cnt = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["source"]) \
+        .map_batches(cpartial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n")).to_pandas()
+    n_by = {str(r["source"]): float(r["n"]) for _, r in cnt.iterrows()}
+    w_by = {s: float(weights.get(s, default_w)) for s in n_by}
+    t = min(n_by[s] / w_by[s] for s in n_by)
+    thr = {s: _rate_hex((t * w_by[s]) / n_by[s]) for s in n_by}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        srcs = np.asarray(batch["source"].to_pandas().astype(str))
+        h8 = np.array([hashlib.md5(f"m:{i}".encode()).hexdigest()[:8]
+                       for i in ids])
+        th = np.array([thr.get(s, "g") for s in srcs])
+        m = h8 < th
+        return pa.table({"doc_id": pa.array(ids[m]),
+                         "source": pa.array(srcs[m], type=pa.string())})
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"]) \
+        .map_batches(pick, batch_format="pyarrow")

@@ -549,3 +549,34 @@ def test_token_entropy_signals(tmp_path, ray_session):
     assert out.loc[2, "ttr"] == 1.0
     assert out.loc[1, "ttr"] == 0.25
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "entropy"] == 0.0
+
+
+def test_corpus_mix_shares_and_determinism(tmp_path, ray_session):
+    d = tmp_path / "mix"
+    d.mkdir()
+    rows = []
+    i = 0
+    for src, n in [("a", 300), ("b", 100), ("c", 100)]:
+        for _ in range(n):
+            rows.append((i, f"doc {i}", "en", src, 5))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    # target 1:1:1 over (300, 100, 100) docs: T = 100, rates a=1/3 b=c=1
+    out = textops.corpus_mix(str(d), weights={}, default_w=1.0).to_pandas()
+    by = out.groupby("source").size()
+    assert by["b"] == 100 and by["c"] == 100       # rate 1 keeps everything
+    assert abs(by["a"] - 100) < 35                 # hash-sampled ~1/3
+    # deterministic
+    out2 = textops.corpus_mix(str(d), weights={}, default_w=1.0).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+    # upweighting a source keeps MORE of it (nested thresholds)
+    out3 = textops.corpus_mix(str(d), weights={"a": 2.0},
+                              default_w=1.0).to_pandas()
+    a3 = set(out3[out3["source"] == "a"]["doc_id"])
+    a1 = set(out[out["source"] == "a"]["doc_id"])
+    assert a1 <= a3 and len(a3) > len(a1)
