@@ -1613,3 +1613,55 @@ SELECT d.doc_id, d.source FROM documents d
 JOIN thr USING (source)
 WHERE substr(md5('m:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.hex
 ORDER BY d.doc_id"""
+
+
+def bigram_logprob_sql(v: int, b: int, alpha: float) -> str:
+    """Bigram LM with stupid backoff, same model-selection ties as the
+    Ray side (count DESC, token/pair ASC), OOV floor 1, ln-structured
+    exactly like the numpy kernel, 6-dp floor rounding."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\s+'), x -> x <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM toks
+), cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS big_n FROM cnt
+), vocab AS (
+  SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT {v}
+), big_all AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n
+  FROM toks, unnest(range(1, len(t))) AS r(i) GROUP BY 1, 2
+), bmod AS (
+  SELECT ba.w1, ba.w2, ba.n
+  FROM big_all ba
+  JOIN vocab v1 ON ba.w1 = v1.token
+  JOIN vocab v2 ON ba.w2 = v2.token
+  ORDER BY ba.n DESC, ba.w1 ASC, ba.w2 ASC LIMIT {b}
+), pos AS (
+  SELECT doc_id, t[i] AS v, t[i + 1] AS w
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), sc AS (
+  SELECT pos.doc_id,
+         sum(CASE WHEN bm.n IS NOT NULL
+                  THEN ln(CAST(vv.n AS DOUBLE)) - ln(CAST(bm.n AS DOUBLE))
+                  ELSE ln((SELECT greatest(big_n, 1) FROM tot))
+                       - ln(CAST(coalesce(vw.n, 1) AS DOUBLE))
+                       - ln({alpha!r}) END) AS s,
+         CAST(count(*) AS BIGINT) AS m
+  FROM pos
+  LEFT JOIN bmod bm ON pos.v = bm.w1 AND pos.w = bm.w2
+  LEFT JOIN vocab vv ON pos.v = vv.token
+  LEFT JOIN vocab vw ON pos.w = vw.token
+  GROUP BY pos.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.m, 0) AS n_positions,
+       floor(coalesce(sc.s / sc.m, 0.0) * 1000000 + 0.5) / 1000000
+         AS avg_nll2
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -130,6 +130,11 @@ def unigram_logprob(sf_dir: str):
     return textops.unigram_logprob(sf_dir)
 
 
+def bigram_logprob(sf_dir: str):
+    from . import textops
+    return textops.bigram_logprob(sf_dir)
+
+
 def winnow_fingerprints(sf_dir: str):
     from . import textops
     return textops.winnow_fingerprints(sf_dir)
@@ -423,6 +428,7 @@ def ray_queries() -> dict:
         "text_stats": text_stats,
         "lang_id": lang_id,
         "unigram_logprob": unigram_logprob,
+        "bigram_logprob": bigram_logprob,
         "winnow_fingerprints": winnow_fingerprints,
         "dedup_exact": dedup_exact,
         "dup_spans": dup_spans,
@@ -505,6 +511,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lang_id": oracle_sql.lang_id_sql(),
         "unigram_logprob": oracle_sql.unigram_logprob_sql(
             _textops().LOGPROB_VOCAB),
+        "bigram_logprob": oracle_sql.bigram_logprob_sql(
+            _textops().BIGRAM_VOCAB, _textops().BIGRAM_MODEL,
+            _textops().BACKOFF_ALPHA),
         "winnow_fingerprints": oracle_sql.winnow_sql(
             _textops().WINNOW_K, _textops().WINNOW_W),
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,

@@ -1107,13 +1107,10 @@ def unigram_logprob(sf_dir: str, v: int = LOGPROB_VOCAB) -> rd.Dataset:
        ulps; numpy round is banker's, DuckDB's is half-away)."""
     src = os.path.join(sf_dir, "documents.parquet")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = (batch["text"].to_pandas().fillna("")
-                .str.lower().str.split().explode().dropna())
-        vc = toks.value_counts()
-        return pa.table({"token": pa.array(vc.index.astype(str),
-                                           type=pa.string()),
-                         "n": pa.array(vc.to_numpy(np.int64))})
+    def split_uni(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.equal(batch["w2"], ""))
+        return pa.table({"token": t["w1"], "n": t["cnt"]})
 
     def prune(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas() \
@@ -1122,10 +1119,11 @@ def unigram_logprob(sf_dir: str, v: int = LOGPROB_VOCAB) -> rd.Dataset:
                                            type=pa.string()),
                          "n": pa.array(df["n"].to_numpy(np.int64))})
 
-    counts = (rd.read_parquet(src, columns=["text"])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("n", alias_name="n"))
-              .materialize())        # reused by the total AND the top-v
+    # the shared pair-count table (ONE corpus pass + bucket reduce,
+    # cached per input fingerprint — no token-cardinality aggregate())
+    counts = _pair_counts_ds(sf_dir) \
+        .map_batches(split_uni, batch_format="pyarrow") \
+        .materialize()               # reused by the total AND the top-v
     total_n = int(counts.sum("n") or 0)
     vocab = (counts.map_batches(prune, batch_format="pyarrow")
              .sort(["n", "token"], descending=[True, False])
@@ -1908,21 +1906,20 @@ PMI_TOP = 100
 PMI_MIN_CNT = 3
 
 
-def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
-                min_cnt: int = PMI_MIN_CNT) -> pd.DataFrame:
-    """Top-``top`` adjacent-word bigrams by PMI = ln(p(xy) / (p(x)p(y))),
-    p(xy) = c_xy/B, p(w) = c_w/N — the classic collocation signal
-    (Church & Hanks '90), with a ``min_cnt`` support floor so hapax
-    pairings can't dominate.
+_PAIRCOUNT_CACHE: dict = caches.register({})
 
-    100 TB shape: ONE corpus pass emits per-batch (w1, w2, cnt) partials
-    (unigrams ride the same stream with w2='') -> a single groupby-sum;
-    the aggregated count table is materialized once (vocab-bounded, far
-    below corpus size) and reused for totals, the support filter, and two
-    distributed hash joins that attach c_x / c_y.  The driver sees only
-    per-batch top-``top`` candidates.  Scores are rounded to 6 decimals
-    BEFORE ranking (the tfidf rule) so numpy-vs-DuckDB ln ulps can't flip
-    the order; ties break on (w1, w2)."""
+
+def _pair_counts_ds(sf_dir: str) -> rd.Dataset:
+    """Materialized global (w1, w2, cnt) table — unigram counts ride the
+    same stream with ``w2 = ''`` — shared by ``pmi_bigrams`` and
+    ``bigram_logprob`` (ONE corpus pass + ONE bucket reduce per input
+    fingerprint).  Vocab-bounded, far below corpus size."""
+    key = (sf_dir, caches.path_fingerprint(
+        os.path.join(sf_dir, "documents.parquet")))
+    hit = _PAIRCOUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         toks = df["text"].fillna("").str.lower().str.split()
@@ -1972,6 +1969,24 @@ def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
         .map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_sum, batch_format="pandas") \
         .materialize()
+    _PAIRCOUNT_CACHE[key] = agg
+    return agg
+
+
+def pmi_bigrams(sf_dir: str, top: int = PMI_TOP,
+                min_cnt: int = PMI_MIN_CNT) -> pd.DataFrame:
+    """Top-``top`` adjacent-word bigrams by PMI = ln(p(xy) / (p(x)p(y))),
+    p(xy) = c_xy/B, p(w) = c_w/N — the classic collocation signal
+    (Church & Hanks '90), with a ``min_cnt`` support floor so hapax
+    pairings can't dominate.
+
+    100 TB shape: the shared pair-count table (``_pair_counts_ds``) is
+    reused for totals, the support filter, and two distributed hash
+    joins that attach c_x / c_y.  The driver sees only per-batch
+    top-``top`` candidates.  Scores are rounded to 6 decimals BEFORE
+    ranking (the tfidf rule) so numpy-vs-DuckDB ln ulps can't flip the
+    order; ties break on (w1, w2)."""
+    agg = _pair_counts_ds(sf_dir)
 
     def totals(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2338,3 +2353,105 @@ def corpus_mix(sf_dir: str, weights: dict = MIX_WEIGHTS,
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "source"]) \
         .map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring with stupid backoff
+# ---------------------------------------------------------------------------
+
+BIGRAM_VOCAB = 4096     #: unigram model size (top-V by count)
+BIGRAM_MODEL = 8192     #: bigram model size (top-B among vocab pairs)
+BACKOFF_ALPHA = 0.4     #: Brants et al. 2007 "stupid backoff" constant
+
+
+def bigram_logprob(sf_dir: str, v: int = BIGRAM_VOCAB,
+                   b: int = BIGRAM_MODEL,
+                   alpha: float = BACKOFF_ALPHA) -> rd.Dataset:
+    """Per-doc average NLL under a corpus-trained BIGRAM model with
+    stupid backoff (Brants et al., EMNLP'07): positions i >= 1 score
+    ``-ln(c(v,w)/c(v))`` when the bigram is in the model, else
+    ``-ln(alpha * c(w)/N)`` (unigram backoff, OOV floor count 1) — a
+    sharper fluency/quality signal than ``unigram_logprob``.
+
+    Model build reuses the shared pair-count table (ONE corpus pass):
+    top-``v`` unigrams (n desc, token asc) and top-``b`` bigrams whose
+    BOTH words are in the vocab, each pruned per block before the tiny
+    driver pull, then ``ray.put`` once.  Scoring is one vectorized pass;
+    docs under 2 tokens score 0.  6-dp floor rounding on both sides
+    absorbs summation-order ulps."""
+    agg = _pair_counts_ds(sf_dir)
+
+    def split_uni(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.equal(batch["w2"], ""))
+        return pa.table({"token": t["w1"], "n": t["cnt"]})
+
+    uni = agg.map_batches(split_uni, batch_format="pyarrow").materialize()
+    total_n = int(uni.sum("n") or 0)
+
+    def prune_uni(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas() \
+            .sort_values(["n", "token"], ascending=[False, True]).head(v)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab = (uni.map_batches(prune_uni, batch_format="pyarrow")
+             .sort(["n", "token"], descending=[True, False])
+             .limit(v).to_pandas())
+    vset = set(vocab["token"])
+
+    def prune_big(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[(df["w2"] != "") & df["w1"].isin(vset)
+                & df["w2"].isin(vset)] \
+            .sort_values(["cnt", "w1", "w2"],
+                         ascending=[False, True, True]).head(b)
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    bmod = (agg.map_batches(prune_big, batch_format="pyarrow")
+            .sort(["cnt", "w1", "w2"], descending=[True, False, False])
+            .limit(b).to_pandas())
+    model_ref = ray.put((
+        dict(zip(vocab["token"], vocab["n"].to_numpy(np.float64))),
+        dict(zip(bmod["w1"] + " " + bmod["w2"],
+                 bmod["cnt"].to_numpy(np.float64)))))
+
+    ln_n = np.log(float(max(total_n, 1)))
+    ln_a = np.log(alpha)
+
+    def score(batch: pa.Table) -> pa.Table:
+        udict, bdict = ray.get(model_ref)
+        df = batch.to_pandas()
+        toks = df["text"].fillna("").str.lower().str.split()
+        n_tok = toks.str.len().to_numpy(np.int64)
+        lens = np.maximum(n_tok, 0)
+        flat = toks.explode().dropna()
+        seg = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        w = flat.to_numpy(dtype=object)
+        n_pos = np.maximum(n_tok - 1, 0)
+        if len(w):
+            adj = seg[:-1] == seg[1:]
+            prev, cur = w[:-1][adj], w[1:][adj]
+            pseg = seg[:-1][adj]
+            keys = pd.Series(prev) + " " + pd.Series(cur)
+            cb = keys.map(bdict).to_numpy(np.float64)       # NaN if absent
+            cv = pd.Series(prev).map(udict).to_numpy(np.float64)
+            cw = pd.Series(cur).map(udict).fillna(1.0) \
+                .to_numpy(np.float64)
+            hit = ~np.isnan(cb)
+            nll = np.where(hit,
+                           np.log(np.where(hit, cv, 1.0))
+                           - np.log(np.where(hit, cb, 1.0)),
+                           ln_n - np.log(cw) - ln_a)
+            sums = np.zeros(len(df), dtype=np.float64)
+            np.add.at(sums, pseg, nll)
+        else:
+            sums = np.zeros(len(df), dtype=np.float64)
+        avg = np.where(n_pos > 0, sums / np.maximum(n_pos, 1), 0.0)
+        avg = np.floor(avg * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "n_positions": pa.array(n_pos),
+            "avg_nll2": pa.array(avg)})
+
+    return read_docs(sf_dir).map_batches(score, batch_format="pyarrow")

@@ -580,3 +580,50 @@ def test_corpus_mix_shares_and_determinism(tmp_path, ray_session):
     a3 = set(out3[out3["source"] == "a"]["doc_id"])
     a1 = set(out[out["source"] == "a"]["doc_id"])
     assert a1 <= a3 and len(a3) > len(a1)
+
+
+def test_bigram_logprob_fluency_signal(tmp_path, ray_session):
+    d = tmp_path / "blm"
+    d.mkdir()
+    # "the quick fox" repeated: its bigrams dominate the model
+    common = "the quick fox jumps high"
+    rows = [(i, common, "en", "s", len(common)) for i in range(10)]
+    rows.append((100, "fox the jumps quick high", "en", "s", 24))  # scrambled
+    rows.append((101, "zz", "en", "s", 2))                         # 1 token
+    rows.append((102, "", "en", "s", 0))                           # empty
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = textops.bigram_logprob(str(d)).to_pandas().set_index("doc_id")
+    # fluent repeats score better (lower NLL) than the scrambled doc
+    assert out.loc[0, "avg_nll2"] < out.loc[100, "avg_nll2"]
+    # in-model bigrams of the repeated doc are near-deterministic
+    assert out.loc[0, "avg_nll2"] < 0.5
+    assert out.loc[101, "n_positions"] == 0
+    assert out.loc[101, "avg_nll2"] == 0.0
+    assert out.loc[102, "avg_nll2"] == 0.0
+
+
+def test_bigram_logprob_matches_duckdb_oracle(tmp_path, ray_session):
+    import duckdb
+
+    from osmlint import oracle_sql
+    d = tmp_path / "blmo"
+    d.mkdir()
+    rows = [(i, f"alpha beta gamma {i % 3} delta alpha beta", "en", "s", 0)
+            for i in range(12)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    got = textops.bigram_logprob(str(d)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = con.execute(oracle_sql.bigram_logprob_sql(
+        textops.BIGRAM_VOCAB, textops.BIGRAM_MODEL,
+        textops.BACKOFF_ALPHA)).fetchdf()
+    exp["n_positions"] = exp["n_positions"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
