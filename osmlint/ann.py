@@ -457,3 +457,48 @@ def quantize_embeddings(sf_dir: str) -> rd.Dataset:
             "q": pa.array(q.reshape(-1), type=pa.int64()),
             "scale": pa.array(np.repeat(scale, dim), type=pa.float64())})
     return read_embeddings(sf_dir).map_batches(quant, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (mean-pool by group)
+# ---------------------------------------------------------------------------
+
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (the class-centroid building block of
+    nearest-centroid classification / diversity balancing): per-batch
+    vectorized (label, dim) partial sums -> a BOUNDED groupby (#labels x
+    dim rows) -> mean.  Long-form output (label, dim_idx, centroid,
+    n_vecs) so the oracle compares scalar columns; 6-dp floor rounding
+    absorbs summation-order ulps."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch["embedding"].to_pandas().to_numpy()) \
+            .astype(np.float64)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dim))})
+
+    agg = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["label", "embedding"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim_idx"]) \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    agg["centroid"] = np.floor(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64)
+        * 1e6 + 0.5) / 1e6
+    agg["n_vecs"] = agg["n"].astype(np.int64)
+    out = agg[["label", "dim_idx", "centroid", "n_vecs"]] \
+        .astype({"label": np.int64, "dim_idx": np.int64})
+    return out.sort_values(["label", "dim_idx"]).reset_index(drop=True)

@@ -1665,3 +1665,14 @@ SELECT d.doc_id,
          AS avg_nll2
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label,
+       CAST(u.i - 1 AS BIGINT) AS dim_idx,
+       floor(avg(CAST(embedding[u.i] AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+GROUP BY label, u.i
+ORDER BY label, dim_idx"""

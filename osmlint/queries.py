@@ -285,6 +285,11 @@ def embedding_cosine_pairs(sf_dir: str):
     return ann.cosine_pairs(sf_dir, tau=COS_TAU)
 
 
+def embedding_centroids(sf_dir: str):
+    from . import ann
+    return ann.embedding_centroids(sf_dir)
+
+
 def ann_topk_ivf(sf_dir: str):
     from . import ann
     return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
@@ -458,6 +463,7 @@ def ray_queries() -> dict:
         "corpus_stats": corpus_stats,
         "embedding_quantize": embedding_quantize,
         "ann_topk": ann_topk,
+        "embedding_centroids": embedding_centroids,
         "ann_topk_ivf": ann_topk_ivf,
         "ann_topk_ivf_fullprobe": ann_topk_ivf_fullprobe,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -568,6 +574,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,
+        "embedding_centroids": oracle_sql.EMBEDDING_CENTROIDS_SQL,
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         # full-probe IVF == exact top-k by construction: every list is
         # scanned, so the approximation is off and the index machinery

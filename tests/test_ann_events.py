@@ -239,3 +239,21 @@ def test_events_range_join_semantics(tmp_path, ray_session):
     # event 9 lands in user 3's SECOND (single-event) window
     row9 = out.set_index("event_id").loc[9]
     assert row9["sess_start"] == row9["ts"] == row9["sess_end"]
+
+
+def test_embedding_centroids_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    out = ann.embedding_centroids(sf)
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    import numpy as np
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    for lab in (0, 7):
+        sel = m[t["label"].to_numpy() == lab]
+        exp = np.floor(sel.mean(axis=0) * 1e6 + 0.5) / 1e6
+        got = out[out["label"] == lab].sort_values("dim_idx")["centroid"] \
+            .to_numpy()
+        assert np.allclose(got, exp, atol=2e-6)
+        assert (out[out["label"] == lab]["n_vecs"] == len(sel)).all()
