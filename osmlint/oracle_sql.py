@@ -1676,3 +1676,40 @@ SELECT label,
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
 GROUP BY label, u.i
 ORDER BY label, dim_idx"""
+
+
+def pack_sequences_sql(budget: int, chunk_tokens: int, rng: int) -> str:
+    """Next-fit packing as a recursive walk: every doc-id range advances
+    one chunk per recursion level (lockstep across ranges), carrying the
+    running fill and 1-based sequence id; identical boundary rule to the
+    Ray kernel (fill + next > budget starts a new sequence)."""
+    ct = chunk_tokens
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+              AS BIGINT) AS n
+  FROM documents
+), chunks AS (
+  SELECT doc_id // {rng} AS grp, doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         CAST(least({ct}, n - i * {ct}) AS BIGINT) AS n_tokens
+  FROM toks, unnest(range(CAST(ceil(n / {ct}.0) AS BIGINT))) AS u(i)
+), numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+), walk AS (
+  SELECT grp, rn, n_tokens AS acc, CAST(1 AS BIGINT) AS seq
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT c.grp, c.rn,
+         CASE WHEN w.acc + c.n_tokens > {budget}
+              THEN c.n_tokens ELSE w.acc + c.n_tokens END,
+         CASE WHEN w.acc + c.n_tokens > {budget}
+              THEN w.seq + 1 ELSE w.seq END
+  FROM walk w JOIN numbered c ON c.grp = w.grp AND c.rn = w.rn + 1
+)
+SELECT c.grp, w.seq AS seq_id, c.doc_id, c.chunk_idx, c.n_tokens
+FROM walk w JOIN numbered c USING (grp, rn)
+ORDER BY c.grp, c.doc_id, c.chunk_idx"""

@@ -245,6 +245,11 @@ def doc_chunks(sf_dir: str):
     return textops.doc_chunks(sf_dir)
 
 
+def pack_sequences(sf_dir: str):
+    from . import textops
+    return textops.pack_sequences(sf_dir)
+
+
 def dedup_apply(sf_dir: str):
     from . import textops
     return textops.dedup_apply(sf_dir)
@@ -456,6 +461,7 @@ def ray_queries() -> dict:
         "corpus_sample": corpus_sample,
         "corpus_mix": corpus_mix,
         "doc_chunks": doc_chunks,
+        "pack_sequences": pack_sequences,
         "dedup_apply": dedup_apply,
         "top_quality_docs": top_quality_docs,
         "tfidf_keywords": tfidf_keywords,
@@ -564,6 +570,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
              for k, v in _textops().SAMPLE_RATES.items()},
             _textops()._rate_hex(_textops().SAMPLE_DEFAULT_RATE)),
         "doc_chunks": oracle_sql.doc_chunks_sql(_textops().CHUNK_TOKENS),
+        "pack_sequences": oracle_sql.pack_sequences_sql(
+            _textops().PACK_BUDGET, _textops().CHUNK_TOKENS,
+            _textops().PACK_RANGE),
         "corpus_mix": oracle_sql.corpus_mix_sql(
             _textops().MIX_WEIGHTS, _textops().MIX_DEFAULT_WEIGHT),
         "dedup_apply": oracle_sql.dedup_apply_sql(0.5),

@@ -2455,3 +2455,81 @@ def bigram_logprob(sf_dir: str, v: int = BIGRAM_VOCAB,
             "avg_nll2": pa.array(avg)})
 
     return read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: greedy next-fit of chunks into training sequences
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256       #: tokens per packed training sequence
+PACK_RANGE = 256        #: doc_ids per independent packing range
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   chunk_tokens: int = CHUNK_TOKENS,
+                   rng: int = PACK_RANGE) -> rd.Dataset:
+    """Greedy next-fit packing of ``doc_chunks`` windows into
+    fixed-budget training sequences — the sequence-prep step between
+    chunking and batching in a pretraining pipeline.
+
+    Packing is inherently sequential, so the parallel unit is a FIXED
+    doc-id range (``grp = doc_id // rng``): chunks pack in (doc_id,
+    chunk_idx) order within their range, a sequence never spans a range
+    boundary (at most one underfull sequence per range), and the result
+    is partition-independent and reproducible.  Ranges reduce through
+    meta-buckets (the _REDUCE_BUCKETS rule); the in-range kernel loops
+    over SEQUENCES via searchsorted on the chunk-size prefix sum, not
+    over chunks.  Only (grp, doc, idx, size) rows shuffle — never text."""
+    def sizes(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy(np.int64)
+        n = df["text"].fillna("").str.count(r"\S+").to_numpy(np.int64)
+        nch = -(-n // chunk_tokens)                       # ceil; 0 if empty
+        rep = np.repeat(ids, nch)
+        n_rep = np.repeat(n, nch)
+        starts = np.cumsum(nch) - nch
+        idx = np.arange(int(nch.sum()), dtype=np.int64) - starts[
+            np.repeat(np.arange(len(ids), dtype=np.int64), nch)]
+        csz = np.minimum(chunk_tokens, n_rep - idx * chunk_tokens)
+        grp = rep // rng
+        return pa.table({"grp": pa.array(grp),
+                         "doc_id": pa.array(rep),
+                         "chunk_idx": pa.array(idx),
+                         "n_tokens": pa.array(csz),
+                         "mb": pa.array(_meta_bucket(grp))})
+
+    out_schema = pa.schema([
+        ("grp", pa.int64()), ("seq_id", pa.int64()),
+        ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+        ("n_tokens", pa.int64())])
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        order = np.lexsort((g["chunk_idx"].to_numpy(np.int64),
+                            g["doc_id"].to_numpy(np.int64),
+                            g["grp"].to_numpy(np.int64)))
+        grp = g["grp"].to_numpy(np.int64)[order]
+        doc = g["doc_id"].to_numpy(np.int64)[order]
+        idx = g["chunk_idx"].to_numpy(np.int64)[order]
+        sz = g["n_tokens"].to_numpy(np.int64)[order]
+        seq = np.zeros(len(grp), dtype=np.int64)
+        bounds = np.r_[np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]]),
+                       len(grp)]
+        for gs, ge in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(sz[gs:ge])
+            start, base, s = 0, 0, 0
+            while start < ge - gs:
+                s += 1
+                end = int(np.searchsorted(cum, base + budget,
+                                          side="right"))
+                if end == start:              # oversize chunk rides alone
+                    end = start + 1
+                seq[gs + start:gs + end] = s
+                base = int(cum[end - 1])
+                start = end
+        return pa.table({"grp": pa.array(grp), "seq_id": pa.array(seq),
+                         "doc_id": pa.array(doc),
+                         "chunk_idx": pa.array(idx),
+                         "n_tokens": pa.array(sz)}, schema=out_schema)
+
+    return read_docs(sf_dir).map_batches(sizes, batch_format="pyarrow") \
+        .groupby("mb").map_groups(pack, batch_format="pandas")

@@ -627,3 +627,48 @@ def test_bigram_logprob_matches_duckdb_oracle(tmp_path, ray_session):
         textops.BACKOFF_ALPHA)).fetchdf()
     exp["n_positions"] = exp["n_positions"].astype("int64")
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+
+def test_pack_sequences_semantics(tmp_path, ray_session):
+    d = tmp_path / "pack"
+    d.mkdir()
+    # doc 0: 100 tokens -> chunks 64+36; doc 1: 200 -> 64+64+64+8;
+    # doc 300 (next range at rng=256): 10 tokens -> one chunk
+    rows = [(0, " ".join(f"t{i}" for i in range(100)), "en", "s", 0),
+            (1, " ".join(f"u{i}" for i in range(200)), "en", "s", 0),
+            (300, " ".join(f"v{i}" for i in range(10)), "en", "s", 0),
+            (301, "", "en", "s", 0)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                     "n_chars"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = textops.pack_sequences(str(d)).to_pandas() \
+        .sort_values(["grp", "doc_id", "chunk_idx"]).reset_index(drop=True)
+    # chunk stream grp 0: 64,36,64,64,64,8 -> next-fit at 256:
+    # seq1 = 64+36+64+64 = 228 (next 64 would hit 292) ; seq2 = 64+8
+    g0 = out[out["grp"] == 0]
+    assert list(g0["n_tokens"]) == [64, 36, 64, 64, 64, 8]
+    assert list(g0["seq_id"]) == [1, 1, 1, 1, 2, 2]
+    # range boundary: doc 300 starts seq 1 of ITS range, never joins grp 0
+    g1 = out[out["grp"] == 1]
+    assert list(g1["doc_id"]) == [300] and list(g1["seq_id"]) == [1]
+    # empty docs emit nothing
+    assert 301 not in set(out["doc_id"])
+    # per-sequence fill never exceeds the budget
+    fills = out.groupby(["grp", "seq_id"])["n_tokens"].sum()
+    assert (fills <= textops.PACK_BUDGET).all()
+
+
+def test_pack_sequences_oversize_chunk_rides_alone(tmp_path, ray_session):
+    d = tmp_path / "pack2"
+    d.mkdir()
+    df = pd.DataFrame([(0, " ".join(f"t{i}" for i in range(128)),
+                        "en", "s", 0)],
+                      columns=["doc_id", "text", "lang", "source",
+                               "n_chars"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    # budget below the chunk size: every chunk becomes its own sequence
+    out = textops.pack_sequences(str(d), budget=32).to_pandas() \
+        .sort_values("chunk_idx")
+    assert list(out["seq_id"]) == [1, 2]
