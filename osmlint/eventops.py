@@ -318,3 +318,49 @@ def range_join(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
                            "sess_start": pd.Series(dtype="datetime64[us]"),
                            "sess_end": pd.Series(dtype="datetime64[us]")})
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def retention(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Cohort retention: users cohorted by FIRST-event day; for each
+    (cohort_day, day_offset) count the distinct users active that many
+    days later — the classic retention triangle.
+
+    100 TB shape: users colocate by hash bucket, so each group computes
+    its users' first day AND their distinct active days in one vectorized
+    pass, emitting (cohort_day, day_offset, partial_count) rows; the
+    global reduce is a small groupby (#days^2 upper bound, data-bounded
+    in practice) — per-user rows never leave the bucket."""
+    ds = read_events(sf_dir, columns=["ts", "user_id"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % n_buckets
+        return batch.append_column("_b", pa.array(b, type=pa.int64())) \
+            .replace_schema_metadata(None)
+
+    def cohort(g: pd.DataFrame) -> pa.Table:
+        day = g["ts"].to_numpy().astype("datetime64[D]")
+        uid = g["user_id"].to_numpy(np.int64)
+        d = pd.DataFrame({"u": uid, "d": day}).drop_duplicates()
+        first = d.groupby("u")["d"].transform("min")
+        off = (d["d"] - first).dt.days.to_numpy(np.int64)
+        out = pd.DataFrame({"cohort_day": first.to_numpy(),
+                            "day_offset": off}) \
+            .groupby(["cohort_day", "day_offset"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "cohort_day": pa.array(out["cohort_day"].to_numpy()
+                                   .astype("datetime64[us]")),
+            "day_offset": pa.array(out["day_offset"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby("_b").map_groups(cohort, batch_format="pandas")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("n", alias_name="n_users")))
+    df = agg.to_pandas()
+    df["n_users"] = df["n_users"].astype(np.int64)
+    df["day_offset"] = df["day_offset"].astype(np.int64)
+    return df.sort_values(["cohort_day", "day_offset"]) \
+        .reset_index(drop=True)

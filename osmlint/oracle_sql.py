@@ -1713,3 +1713,18 @@ WITH RECURSIVE toks AS (
 SELECT c.grp, w.seq AS seq_id, c.doc_id, c.chunk_idx, c.n_tokens
 FROM walk w JOIN numbered c USING (grp, rn)
 ORDER BY c.grp, c.doc_id, c.chunk_idx"""
+
+
+EVENTS_RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), f AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+ORDER BY f.cohort_day, day_offset"""

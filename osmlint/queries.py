@@ -341,6 +341,11 @@ def events_range_join(sf_dir: str):
     return eventops.range_join(sf_dir)
 
 
+def events_retention(sf_dir: str):
+    from . import eventops
+    return eventops.retention(sf_dir)
+
+
 def media_features(sf_dir: str):
     from . import media
     return media.media_features(_synth(sf_dir))
@@ -479,6 +484,7 @@ def ray_queries() -> dict:
         "events_asof_attribution": events_asof_attribution,
         "events_funnel": events_funnel,
         "events_range_join": events_range_join,
+        "events_retention": events_retention,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
@@ -601,6 +607,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _eventops().FUNNEL_WINDOW_DAYS),
         "events_range_join": oracle_sql.events_range_join_sql(
             _eventops().RANGE_JOIN_SOURCES, _eventops().RANGE_GAP_MIN),
+        "events_retention": oracle_sql.EVENTS_RETENTION_SQL,
         "media_features": oracle_sql.media_features_sql(d),
         "media_resize": oracle_sql.media_resize_sql(d),
         "media_frame_sample": oracle_sql.media_frame_sample_sql(d),

@@ -257,3 +257,35 @@ def test_embedding_centroids_exact(ray_session):
             .to_numpy()
         assert np.allclose(got, exp, atol=2e-6)
         assert (out[out["label"] == lab]["n_vecs"] == len(sel)).all()
+
+
+def test_events_retention_triangle(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from osmlint import eventops
+    d = tmp_path / "ret"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01")
+    day = pd.Timedelta(days=1)
+    rows = [
+        # user 1: active day 0, 1, 3 (two events day 0 count once)
+        (1, t0, 1), (2, t0 + pd.Timedelta(hours=2), 1),
+        (3, t0 + day, 1), (4, t0 + 3 * day, 1),
+        # user 2: same cohort, active day 0 only
+        (5, t0 + pd.Timedelta(hours=5), 2),
+        # user 3: later cohort (day 1), active day 1 and 2
+        (6, t0 + day, 3), (7, t0 + 2 * day, 3),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_type"] = "view"
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    out = eventops.retention(str(d))
+    tri = {(str(r.cohort_day)[:10], r.day_offset): r.n_users
+           for r in out.itertuples()}
+    assert tri == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 3): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
