@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from . import caches
 from .metrics import split_cap_sentinels
@@ -1209,7 +1209,6 @@ def decontaminate(sf_dir: str,
     identity is the 64-bit blake2b shingle hash (collision odds ~1e-10 at
     gate scale); the SQL oracle compares gram STRINGS, so a collision
     would surface as a hash mismatch rather than hide."""
-    from ray.data.aggregate import Max
     es = set(eval_sources)
     sh = read_shingles(sf_dir, ["doc_id", "sh", "source"])
 
@@ -1237,10 +1236,22 @@ def decontaminate(sf_dir: str,
                           "n_grams": pd.Series(dtype=np.int64),
                           "n_contaminated": pd.Series(dtype=np.int64),
                           "contamination": pd.Series(dtype=np.float64)})
+    def gram_bucketize(b: pa.Table) -> pa.Table:
+        h = b["ngram"].to_numpy(zero_copy_only=False)
+        return pa.table({"ngram": b["ngram"],
+                         "mb": pa.array(_meta_bucket(h))})
+
+    def gram_dedup(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"ngram": pa.array(
+            np.unique(g["ngram"].to_numpy(np.int64)))})
+
+    # distinct train grams via meta-bucket reduce, NOT a gram-cardinality
+    # aggregate() (per-GROUP overhead, see _REDUCE_BUCKETS)
     train_grams = (sh.map_batches(
         lambda b: postings(b, False), batch_format="pyarrow")
-        .groupby("ngram").aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"]).materialize())
+        .map_batches(gram_bucketize, batch_format="pyarrow")
+        .groupby("mb").map_groups(gram_dedup, batch_format="pandas")
+        .materialize())
     ev = sh.map_batches(lambda b: postings(b, True),
                         batch_format="pyarrow").materialize()
     n_ev = ev.count()
@@ -1249,9 +1260,24 @@ def decontaminate(sf_dir: str,
     num_partitions = max(1, min(num_partitions, n_ev // 256))
     hits = ev.join(train_grams, "inner", num_partitions,
                    on=("ngram",), right_on=("ngram",))
-    rep = hits.groupby("doc_id").aggregate(
-        Count(alias_name="n_contaminated"),
-        Max("sz", alias_name="n_grams")).to_pandas()
+    def doc_bucketize(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("mb2", pa.array(_meta_bucket(ids),
+                                               type=pa.int64()))
+
+    def doc_roll(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("doc_id", sort=False) \
+            .agg(n_contaminated=("ngram", "size"), n_grams=("sz", "max")) \
+            .reset_index()
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy(np.int64)),
+            "n_contaminated": pa.array(d["n_contaminated"]
+                                       .to_numpy(np.int64)),
+            "n_grams": pa.array(d["n_grams"].to_numpy(np.int64))})
+
+    rep = hits.map_batches(doc_bucketize, batch_format="pyarrow") \
+        .groupby("mb2").map_groups(doc_roll, batch_format="pandas") \
+        .to_pandas()
     if rep.empty:
         return empty
     rep["n_grams"] = rep["n_grams"].astype(np.int64)
