@@ -43,7 +43,32 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+#: bounded bucket count for node/label-cardinality reduces — Ray's
+#: groupby().aggregate() pays per-GROUP overhead (textops._REDUCE_BUCKETS
+#: rule), so min-label and size reduces hash nodes into buckets and
+#: combine with a C-level pandas groupby inside map_groups.
+_CC_BUCKETS = 256
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _min_label_reduce(ds: rd.Dataset) -> rd.Dataset:
+    """groupby(node).min(label) via bounded node-hash buckets."""
+    def bucketize(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mb = ((n * _GOLD) >> np.uint64(40)).astype(np.int64) % _CC_BUCKETS
+        return pa.table({"node": b["node"].cast(pa.int64()),
+                         "label": b["label"].cast(pa.int64()),
+                         "_mb": pa.array(mb)})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("node", sort=False)["label"].min().reset_index()
+        return pa.table({"node": pa.array(d["node"].to_numpy(np.int64)),
+                         "label": pa.array(d["label"]
+                                           .to_numpy(np.int64))})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(combine, batch_format="pandas")
+
 
 #: local-closure ceiling: ~4M edges = 64 MB of int64 pairs on the driver —
 #: the same order as the pair-query output the driver already receives.
@@ -111,9 +136,9 @@ def _distributed_components(edges: rd.Dataset, n_edges: int,
     num_partitions = max(1, min(num_partitions, (2 * n_edges) // 256))
     eboth = edges.map_batches(_both_directions,
                               batch_format="pyarrow").materialize()
-    labels = (edges.map_batches(_endpoints, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              .materialize())
+    labels = _min_label_reduce(
+        edges.map_batches(_endpoints, batch_format="pyarrow")) \
+        .materialize()
     prev_sum = labels.sum("label")
     converged, rounds = False, 0
     for rounds in range(1, max_rounds + 1):
@@ -123,9 +148,7 @@ def _distributed_components(edges: rd.Dataset, n_edges: int,
                 lambda t: pa.table({"node": t["dst"].cast(pa.int64()),
                                     "label": t["label"].cast(pa.int64())}),
                 batch_format="pyarrow")
-        new = (labels.union(prop)
-               .groupby("node").aggregate(Min("label", alias_name="label"))
-               .materialize())
+        new = _min_label_reduce(labels.union(prop)).materialize()
         new_sum = new.sum("label")
         labels = new
         if new_sum == prev_sum:
@@ -181,8 +204,25 @@ def cluster_labels(edges: rd.Dataset, *, max_rounds: int = 50,
     # joined back onto the labels (num_partitions scales with label
     # volume so the label set never funnels through a single join task)
     n_labels = labels.count()
-    sizes = labels.groupby("label").aggregate(
-        Count(alias_name="cluster_size"))
+
+    def size_bucketize(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mb = ((lab * _GOLD) >> np.uint64(40)).astype(np.int64) \
+            % _CC_BUCKETS
+        return pa.table({"label": b["label"].cast(pa.int64()),
+                         "_sb": pa.array(mb)})
+
+    def size_combine(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("label", sort=False).size() \
+            .reset_index(name="cluster_size")
+        return pa.table({"label": pa.array(d["label"].to_numpy(np.int64)),
+                         "cluster_size": pa.array(
+                             d["cluster_size"].to_numpy(np.int64))})
+
+    # label-cardinality reduce via buckets (every row of a label lands in
+    # one bucket, so the in-bucket count is final)
+    sizes = labels.map_batches(size_bucketize, batch_format="pyarrow") \
+        .groupby("_sb").map_groups(size_combine, batch_format="pandas")
     out = labels.join(sizes, "inner",
                       max(1, min(num_partitions, n_labels // 256)),
                       on=("label",), right_on=("label",)) \

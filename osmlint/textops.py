@@ -976,20 +976,28 @@ def vocab_topk(sf_dir: str, k: int = VOCAB_K) -> pd.DataFrame:
                                            type=pa.string()),
                          "n": pa.array(vc.to_numpy(np.int64))})
 
-    def prune(batch: pa.Table) -> pa.Table:
-        # counts are FINAL after the aggregate, so the global top-k is a
-        # subset of the union of per-block top-k — pruning bounds the
-        # final sort input to #blocks x k rows instead of the whole
-        # vocabulary (billions of rows at 100 TB)
-        df = batch.to_pandas() \
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bk = (pd.util.hash_array(batch["token"].to_pandas()
+                                 .to_numpy(dtype=object))
+              % _REDUCE_BUCKETS).astype(np.int64)
+        return batch.append_column("bucket",
+                                   pa.array(bk, type=pa.int64()))
+
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        # a bucket holds EVERY row of its tokens, so the in-bucket sum is
+        # final and the in-bucket top-k is exact — the global sort sees
+        # #buckets x k rows, never the vocabulary (the _REDUCE_BUCKETS
+        # rule: no token-cardinality aggregate())
+        d = g.groupby("token", sort=False)["n"].sum().reset_index() \
             .sort_values(["n", "token"], ascending=[False, True]).head(k)
-        return pa.table({"token": pa.array(df["token"].astype(str),
+        return pa.table({"token": pa.array(d["token"].astype(str),
                                            type=pa.string()),
-                         "n": pa.array(df["n"].to_numpy(np.int64))})
+                         "n": pa.array(d["n"].to_numpy(np.int64))})
 
     top = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("n", alias_name="n"))
-           .map_batches(prune, batch_format="pyarrow")
+           .map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").map_groups(bucket_topk,
+                                         batch_format="pandas")
            .sort(["n", "token"], descending=[True, False])
            .limit(k).to_pandas())
     top["n"] = top["n"].astype(np.int64)
@@ -1646,8 +1654,22 @@ def tfidf_keywords(sf_dir: str, top: int = TFIDF_TOP,
                                            type=pa.string()),
                          "d": pa.array(np.ones(len(u), dtype=np.int64))})
 
+    def df_bucketize(batch: pa.Table) -> pa.Table:
+        bk = (pd.util.hash_array(batch["token"].to_pandas()
+                                 .to_numpy(dtype=object))
+              % _REDUCE_BUCKETS).astype(np.int64)
+        return batch.append_column("bucket",
+                                   pa.array(bk, type=pa.int64()))
+
+    def df_sum(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("token", sort=False)["d"].sum().reset_index(name="df")
+        return pa.table({"token": pa.array(d["token"].astype(str),
+                                           type=pa.string()),
+                         "df": pa.array(d["df"].to_numpy(np.int64))})
+
     dfreq = (docs.map_batches(distinct_postings, batch_format="pyarrow")
-             .groupby("token").aggregate(Sum("d", alias_name="df"))
+             .map_batches(df_bucketize, batch_format="pyarrow")
+             .groupby("bucket").map_groups(df_sum, batch_format="pandas")
              .to_pandas())
     import pyarrow.parquet as pq
     dfreq = dfreq[dfreq["df"] >= min_df].sort_values("token")
