@@ -152,6 +152,9 @@ N_BITS = 8          # floor; _n_bits_for raises it with log2(n) at scale
 LSH_SEED = 77
 _PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
 MAX_BUCKET = 4096   # skip guard against degenerate buckets (counted, logged)
+#: broadcast-verify ceiling: a 200k x 64 f32 normalized matrix is ~51 MB
+#: per worker — above it the verify degrades to the blob hash join.
+LSH_BROADCAST_MAX_ROWS = 200_000
 
 #: per-query metrics of the last call (the "no silent caps" surface):
 #: skipped_buckets / skipped_docs record what the MAX_BUCKET guard dropped.
@@ -298,6 +301,40 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
         blobs = pa.array([r.tobytes() for r in mn], type=pa.binary())
         return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
                          "emb": blobs})
+
+    if n_rows <= LSH_BROADCAST_MAX_ROWS:
+        # the normalized f32 matrix fits one broadcast (<= ~50 MB): verify
+        # candidates by direct index lookup — no blob replication, no join
+        # aggregator actors (the join path replicates BOTH 256-byte blobs
+        # per candidate pair, which dominates wall time when candidate
+        # volume is high relative to n)
+        import pyarrow.parquet as pq2
+        tbl = pq2.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        all_ids, all_m = _batch_matrix(tbl)
+        order = np.argsort(all_ids)
+        mat_ref = ray.put((all_ids[order],
+                           _normalize(all_m)[order].astype(np.float32)))
+
+        def bverify(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _PAIR_SCHEMA.empty_table()
+            ids_s, mn = ray.get(mat_ref)
+            a = batch["vec_a"].to_numpy(zero_copy_only=False)
+            b = batch["vec_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            sims = (mn[ia].astype(np.float64)
+                    * mn[ib].astype(np.float64)).sum(axis=1)
+            keep = sims >= tau
+            return pa.table({"vec_a": pa.array(a[keep], type=pa.int64()),
+                             "vec_b": pa.array(b[keep], type=pa.int64())})
+
+        df = cand.map_batches(bverify, batch_format="pyarrow").to_pandas()
+        if df.empty:
+            df = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                               "vec_b": pd.Series(dtype=np.int64)})
+        return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
     emb = read_embeddings(sf_dir).map_batches(pack, batch_format="pyarrow")
     joined = cand.join(emb, "inner", num_partitions,
