@@ -233,3 +233,31 @@ class PolygonIndex:
             tofill = won[out[won] == -1]
             out[tofill] = b
         return out
+
+
+def nearest_tile_batch(batch, centers_lat, centers_lon, tile_names):
+    """Nearest-neighbor spatial join kernel: haversine from every doc to
+    every (broadcast) tile center, 6-dp floor rounding BEFORE the argmin
+    so numpy-vs-DuckDB trig ulps can't flip a tie; equal distances break
+    to the lowest tile_id (columns are tile_id-ordered, np.argmin keeps
+    the first minimum)."""
+    import pandas as pd
+    import pyarrow as pa
+    df = batch.to_pandas()
+    lat = df["lat"].to_numpy(np.float64)
+    lon = df["lon"].to_numpy(np.float64)
+    d = np.stack([haversine_km(lat, lon, clat, clon)
+                  for clat, clon in zip(centers_lat, centers_lon)], axis=1)
+    d = np.floor(d * 1e6 + 0.5) / 1e6
+    idx = np.argmin(d, axis=1)
+    return pa.table({
+        "map_slug": pa.array(df["map_slug"].astype(str),
+                             type=pa.string()),
+        "osm_id": pa.array(df["osm_id"].to_numpy(np.int64)),
+        "entity_type": pa.array(df["entity_type"].astype(str),
+                                type=pa.string()),
+        "seq": pa.array(df["seq"].to_numpy(np.int64)),
+        "tile_name": pa.array(
+            pd.Series(tile_names).iloc[idx].astype(str),
+            type=pa.string()),
+        "dist_km": pa.array(d[np.arange(len(idx)), idx])})

@@ -1728,3 +1728,27 @@ SELECT f.cohort_day,
 FROM d JOIN f USING (user_id)
 GROUP BY f.cohort_day, day_offset
 ORDER BY f.cohort_day, day_offset"""
+
+
+def nearest_tile_sql(d: str) -> str:
+    """Nearest tile center per doc: cross join against the ~30-row tile
+    table, haversine mirrored term-for-term, 6-dp floor rounding BEFORE
+    the rank (ties to the lowest tile_id — the kernel's first-argmin)."""
+    hav = haversine_sql("(t.minlat + t.maxlat) / 2.0",
+                        "(t.minlon + t.maxlon) / 2.0", "f.lat", "f.lon")
+    return f"""
+WITH flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+tiles AS (SELECT * FROM read_parquet({q(d + '/tiles.parquet')})),
+dist AS (
+  SELECT f.map_slug, f.osm_id, f.entity_type, f.seq,
+         t.tile_id, t.tile_name,
+         floor(({hav}) * 1e6 + 0.5) / 1e6 AS dist_km
+  FROM flat f CROSS JOIN tiles t
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY map_slug, entity_type, osm_id, seq
+      ORDER BY dist_km, tile_id) AS r
+  FROM dist
+)
+SELECT map_slug, osm_id, entity_type, seq, tile_name, dist_km
+FROM ranked WHERE r = 1 ORDER BY map_slug, entity_type, osm_id, seq"""

@@ -105,6 +105,31 @@ def knn_dup_names(sf_dir: str) -> rd.Dataset:
     return dupnames.dup_name_pairs(_synth(sf_dir))
 
 
+def nearest_tile(sf_dir: str) -> rd.Dataset:
+    """Nearest-neighbor spatial join: every doc to its closest okrug
+    tile CENTER (haversine argmin over the ~30-row broadcast tile
+    table; 6-dp rounding before the argmin, ties to the lowest
+    tile_id)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from . import geo
+    d = _synth(sf_dir)
+    tiles = pq.read_table(os.path.join(d, "tiles.parquet")).to_pandas() \
+        .sort_values("tile_id")
+    clat = ((tiles["minlat"] + tiles["maxlat"]) / 2.0) \
+        .to_numpy(np.float64)
+    clon = ((tiles["minlon"] + tiles["maxlon"]) / 2.0) \
+        .to_numpy(np.float64)
+    names = tiles["tile_name"].astype(str).tolist()
+    ds = _decoded(d, with_pip=False)
+    return ds.map_batches(
+        geo.nearest_tile_batch, batch_format="pyarrow",
+        fn_kwargs={"centers_lat": clat, "centers_lon": clon,
+                   "tile_names": names})
+
+
 # ---------------------------------------------------------------------------
 # training-data extensions (driver documents / embeddings / events tables)
 # ---------------------------------------------------------------------------
@@ -440,6 +465,7 @@ def ray_queries() -> dict:
         "pip_tile_join": pip_tile_join,
         "cell_index": cell_index,
         "knn_dup_names": knn_dup_names,
+        "nearest_tile": nearest_tile,
         "text_stats": text_stats,
         "lang_id": lang_id,
         "unigram_logprob": unigram_logprob,
@@ -525,6 +551,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cell_index": oracle_sql.cell_index_sql(d, CELL_RES),
         "knn_dup_names": oracle_sql.knn_dup_names_sql(
             d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
+        "nearest_tile": oracle_sql.nearest_tile_sql(d),
         "text_stats": oracle_sql.TEXT_STATS_SQL,
         "lang_id": oracle_sql.lang_id_sql(),
         "unigram_logprob": oracle_sql.unigram_logprob_sql(

@@ -124,3 +124,31 @@ def test_strtree_query():
             if boxes[b, 0] <= px[p] <= boxes[b, 2] and boxes[b, 1] <= py[p] <= boxes[b, 3]:
                 exp.add((p, b))
     assert got == exp
+
+
+def test_nearest_tile_brute_force(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmlint import geo, queries
+    sf = "/root/testdata/sf0.001"
+    out = queries.nearest_tile(sf).to_pandas()
+    d = queries._synth(sf)
+    tiles = pq.read_table(d + "/tiles.parquet").to_pandas() \
+        .sort_values("tile_id")
+    flat = pq.read_table(
+        d + "/flat.parquet",
+        columns=["map_slug", "osm_id", "entity_type", "seq",
+                 "lat", "lon"]).to_pandas()
+    clat = ((tiles["minlat"] + tiles["maxlat"]) / 2).to_numpy()
+    clon = ((tiles["minlon"] + tiles["maxlon"]) / 2).to_numpy()
+    sample = flat.sample(50, random_state=7)
+    m = out.set_index(["map_slug", "entity_type", "osm_id", "seq"])
+    for r in sample.itertuples():
+        dd = geo.haversine_km(np.full(len(clat), r.lat),
+                              np.full(len(clat), r.lon), clat, clon)
+        dd = np.floor(dd * 1e6 + 0.5) / 1e6
+        best = int(np.argmin(dd))
+        got = m.loc[(r.map_slug, r.entity_type, r.osm_id, r.seq)]
+        assert got["tile_name"] == tiles["tile_name"].iloc[best]
+        assert got["dist_km"] == dd[best]
