@@ -1752,3 +1752,32 @@ dist AS (
 )
 SELECT map_slug, osm_id, entity_type, seq, tile_name, dist_km
 FROM ranked WHERE r = 1 ORDER BY map_slug, entity_type, osm_id, seq"""
+
+
+def cell_density_smooth_sql(d: str, res: int) -> str:
+    """3x3 neighborhood doc counts over the quad-cell grid: per-cell
+    counts cross-joined with the 9 offsets, clamped at grid edges,
+    reported for occupied cells only."""
+    n = 1 << res
+    return f"""
+WITH {base_ctes(d)},
+counts AS (
+  SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+), offs AS (
+  SELECT dx.x AS dx, dy.y AS dy
+  FROM (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+), spread AS (
+  SELECT ((c.cell_id // {n}) + o.dy) * {n}
+           + ((c.cell_id % {n}) + o.dx) AS cell_id,
+         c.n
+  FROM counts c CROSS JOIN offs o
+  WHERE (c.cell_id % {n}) + o.dx >= 0 AND (c.cell_id % {n}) + o.dx < {n}
+    AND (c.cell_id // {n}) + o.dy >= 0 AND (c.cell_id // {n}) + o.dy < {n}
+), smooth AS (
+  SELECT cell_id, CAST(sum(n) AS BIGINT) AS n_smooth
+  FROM spread GROUP BY cell_id
+)
+SELECT c.cell_id, c.n AS n_docs, s.n_smooth
+FROM counts c JOIN smooth s USING (cell_id)
+ORDER BY c.cell_id"""

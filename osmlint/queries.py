@@ -101,6 +101,54 @@ def cell_index(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("cell_id").reset_index(drop=True)
 
 
+def cell_density_smooth(sf_dir: str) -> pd.DataFrame:
+    """Kernel-density-style smoothing over the res-8 quad-cell grid:
+    each occupied cell's 3x3-neighborhood doc count (grid-edge cells
+    just see fewer neighbors).  Shape: the bounded per-cell count
+    aggregate (same partials as ``cell_index``) -> each count emits its
+    9 neighbor contributions (constant x9 on a CELL-bounded table, not
+    the corpus) -> one more bounded groupby; reported for occupied
+    cells only (a semi-join back against the count table)."""
+    n_side = 1 << CELL_RES
+    ds = _decoded(_synth(sf_dir), with_pip=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell_id").aggregate(Sum("n", alias_name="n"))
+              .materialize())          # bounded by the fixed grid
+
+    def spread(batch: pa.Table) -> pa.Table:
+        c = batch["cell_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = c % n_side, c // n_side
+        outs = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n_side) & (jy >= 0) & (jy < n_side)
+                outs.append(pa.table({
+                    "cell_id": pa.array(jy[ok] * n_side + jx[ok]),
+                    "n": pa.array(n[ok])}))
+        return pa.concat_tables(outs)
+
+    smooth = (counts.map_batches(spread, batch_format="pyarrow")
+              .groupby("cell_id")
+              .aggregate(Sum("n", alias_name="n_smooth")).to_pandas())
+    occ = counts.to_pandas()
+    df = occ.merge(smooth, on="cell_id")
+    df["cell_id"] = df["cell_id"].astype(np.int64)
+    df["n_docs"] = df["n"].astype(np.int64)
+    df["n_smooth"] = df["n_smooth"].astype(np.int64)
+    return df[["cell_id", "n_docs", "n_smooth"]] \
+        .sort_values("cell_id").reset_index(drop=True)
+
+
 def knn_dup_names(sf_dir: str) -> rd.Dataset:
     return dupnames.dup_name_pairs(_synth(sf_dir))
 
@@ -464,6 +512,7 @@ def ray_queries() -> dict:
         "lint_merge_overall": lint_merge_overall,
         "pip_tile_join": pip_tile_join,
         "cell_index": cell_index,
+        "cell_density_smooth": cell_density_smooth,
         "knn_dup_names": knn_dup_names,
         "nearest_tile": nearest_tile,
         "text_stats": text_stats,
@@ -549,6 +598,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lint_merge_overall": oracle_sql.lint_merge_overall_sql(d),
         "pip_tile_join": oracle_sql.pip_tile_join_sql(d),
         "cell_index": oracle_sql.cell_index_sql(d, CELL_RES),
+        "cell_density_smooth":
+            oracle_sql.cell_density_smooth_sql(d, CELL_RES),
         "knn_dup_names": oracle_sql.knn_dup_names_sql(
             d, KNN_RADIUS_KM, dupnames.MAX_NAME_FREQ),
         "nearest_tile": oracle_sql.nearest_tile_sql(d),

@@ -152,3 +152,19 @@ def test_nearest_tile_brute_force(ray_session):
         got = m.loc[(r.map_slug, r.entity_type, r.osm_id, r.seq)]
         assert got["tile_name"] == tiles["tile_name"].iloc[best]
         assert got["dist_km"] == dd[best]
+
+
+def test_cell_density_smooth_box_filter(ray_session):
+    from osmlint import queries
+    sf = "/root/testdata/sf0.001"
+    counts = queries.cell_index(sf).set_index("cell_id")["n_docs"]
+    sm = queries.cell_density_smooth(sf)
+    n = 1 << queries.CELL_RES
+    for r in sm.itertuples():
+        ix, iy = r.cell_id % n, r.cell_id // n
+        exp = sum(counts.get((iy + dy) * n + (ix + dx), 0)
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                  if 0 <= ix + dx < n and 0 <= iy + dy < n)
+        assert r.n_smooth == exp
+        assert r.n_docs == counts[r.cell_id]
+    assert set(sm["cell_id"]) == set(counts.index)
