@@ -1745,9 +1745,11 @@ _DUPSPAN_CKPT_VERSION = 1
 #: ``groupby().aggregate()`` and per-key ``map_groups`` pay per-GROUP
 #: overhead in the sort-based finalizer — a 237k-group aggregate measured
 #: ~100x slower than bounded bucket groups with a C-level pandas/numpy
-#: combine inside map_groups.  At scale, raise via more buckets (each
-#: bucket must fit one worker task).
-_REDUCE_BUCKETS = 256
+#: combine inside map_groups.  Each bucket materializes in ONE worker
+#: task, so size it to the deployment: 256 suits a single node; a
+#: cluster-scale corpus (1/256 of a deduped partial stream must fit one
+#: worker's heap) raises it via ``$OSMLINT_REDUCE_BUCKETS``.
+_REDUCE_BUCKETS = int(os.environ.get("OSMLINT_REDUCE_BUCKETS", "256"))
 
 
 def dupspan_postings_batch(batch: pa.Table, k: int = DUPSPAN_K) -> pa.Table:
