@@ -1781,3 +1781,28 @@ counts AS (
 SELECT c.cell_id, c.n AS n_docs, s.n_smooth
 FROM counts c JOIN smooth s USING (cell_id)
 ORDER BY c.cell_id"""
+
+
+def winnow_dup_pairs_sql(k: int, w: int, tau: float) -> str:
+    """Fingerprint-overlap pairs from the winnow SQL: distinct per-doc
+    fingerprint sets, shared count via fp self-join, exact Jaccard
+    against per-doc set sizes (same c / (sa + sb - c) double division
+    as the Ray kernel)."""
+    return f"""
+WITH fps AS ({winnow_sql(k, w)}),
+d AS (SELECT DISTINCT doc_id, fp FROM fps),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM d
+       GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT shared.doc_a, shared.doc_b,
+       CAST(c AS DOUBLE) / greatest(sa.s + sb.s - c, 1) AS fp_jaccard
+FROM shared
+JOIN sz sa ON sa.doc_id = shared.doc_a
+JOIN sz sb ON sb.doc_id = shared.doc_b
+WHERE CAST(c AS DOUBLE) / greatest(sa.s + sb.s - c, 1) >= {tau!r}
+ORDER BY shared.doc_a, shared.doc_b"""

@@ -213,6 +213,11 @@ def winnow_fingerprints(sf_dir: str):
     return textops.winnow_fingerprints(sf_dir)
 
 
+def winnow_dup_pairs(sf_dir: str):
+    from . import textops
+    return textops.winnow_dup_pairs(sf_dir)
+
+
 def dedup_exact(sf_dir: str):
     from . import textops
     return textops.dedup_exact(sf_dir)
@@ -520,6 +525,7 @@ def ray_queries() -> dict:
         "unigram_logprob": unigram_logprob,
         "bigram_logprob": bigram_logprob,
         "winnow_fingerprints": winnow_fingerprints,
+        "winnow_dup_pairs": winnow_dup_pairs,
         "dedup_exact": dedup_exact,
         "dup_spans": dup_spans,
         "pmi_bigrams": pmi_bigrams,
@@ -612,6 +618,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _textops().BACKOFF_ALPHA),
         "winnow_fingerprints": oracle_sql.winnow_sql(
             _textops().WINNOW_K, _textops().WINNOW_W),
+        "winnow_dup_pairs": oracle_sql.winnow_dup_pairs_sql(
+            _textops().WINNOW_K, _textops().WINNOW_W,
+            _textops().WINNOW_PAIR_TAU),
         "dedup_exact": oracle_sql.DEDUP_EXACT_SQL,
         # grams grouped by STRING in SQL vs 128-bit blake2b keys in Ray —
         # equality is the collision-safety check itself

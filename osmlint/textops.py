@@ -2583,3 +2583,118 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
 
     return read_docs(sf_dir).map_batches(sizes, batch_format="pyarrow") \
         .groupby("mb").map_groups(pack, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# winnowing copy detection: fingerprint-overlap near-dup pairs (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_PAIR_TAU = 0.5
+
+_WINPAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("fp_jaccard", pa.float64())])
+_WINCAND_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("sz_a", pa.int64()), ("sz_b", pa.int64())])
+
+
+def winnow_dup_pairs(sf_dir: str, tau: float = WINNOW_PAIR_TAU,
+                     cap: int = MAX_POSTING) -> pd.DataFrame:
+    """Copy detection the way MOSS uses winnowing: pairs whose
+    fingerprint-set Jaccard >= tau.  The fifth near-dup signal
+    (exact / MinHash / SimHash / n-gram Jaccard / winnow overlap) —
+    character-level, so it catches shared RUNS that word-shingle
+    methods dilute.
+
+    Same shape as the n-gram path: one posting per (fp, doc, set_size),
+    meta-bucket pair mining (one row per SHARED fingerprint — the
+    multiplicity IS |A n B| over the deduped sets), and a bucketed count
+    step computes the exact fingerprint Jaccard with no join-back at all
+    (set sizes ride the postings).  Hot fingerprints above ``cap`` are
+    skipped and counted (``LAST_METRICS['winnow_dup_pairs']``); a capped
+    posting can under-count shared fingerprints — the same recall-loss
+    class every cap introduces, never silent."""
+    def postings(batch: pa.Table) -> pa.Table:
+        # winnow rows for a doc never split across batches (winnow_batch
+        # explodes whole docs), so the per-doc DISTINCT size is exact here
+        df = batch.to_pandas()[["doc_id", "fp"]].drop_duplicates()
+        ids = df["doc_id"].to_numpy(np.int64)
+        fp = df["fp"].to_numpy(np.int64)
+        sz = df.groupby("doc_id", sort=False)["fp"].transform("size") \
+            .to_numpy(np.int64)
+        return pa.table({"fp": pa.array(fp),
+                         "doc_id": pa.array(ids),
+                         "sz": pa.array(sz),
+                         "mb": pa.array(_meta_bucket(fp))})
+
+    def mine(g: pd.DataFrame) -> pa.Table:
+        gk = g["fp"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        sz = g["sz"].to_numpy(np.int64)
+        order = np.lexsort((ids, gk))
+        gk, ids, sz = gk[order], ids[order], sz[order]
+        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
+        gk, ids, sz = gk[keep], ids[keep], sz[keep]
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        ends = np.r_[starts[1:], len(gk)]
+        gsz = ends - starts
+        tbls = []
+        for st, en in zip(starts[gsz >= 2], ends[gsz >= 2]):
+            n = int(en - st)
+            if n > cap:
+                tbls.append(_skip_sentinel(n, int(gk[st]),
+                                           "winnow fingerprint",
+                                           _WINCAND_SCHEMA, cap))
+                continue
+            i, j = np.triu_indices(n, k=1)
+            tbls.append(pa.table(
+                {"doc_a": pa.array(ids[st:en][i], type=pa.int64()),
+                 "doc_b": pa.array(ids[st:en][j], type=pa.int64()),
+                 "sz_a": pa.array(sz[st:en][i], type=pa.int64()),
+                 "sz_b": pa.array(sz[st:en][j], type=pa.int64())},
+                schema=_WINCAND_SCHEMA))
+        return pa.concat_tables(tbls) if tbls \
+            else _WINCAND_SCHEMA.empty_table()
+
+    def bucketize_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
+                            type=pa.int64()))
+
+    def jaccard_filter(g: pd.DataFrame) -> pa.Table:
+        sent = g[g["doc_a"] < 0]
+        d = g[g["doc_a"] >= 0].groupby(["doc_a", "doc_b"], sort=False) \
+            .agg(c=("sz_a", "size"), sz_a=("sz_a", "first"),
+                 sz_b=("sz_b", "first")).reset_index()
+        c = d["c"].to_numpy(np.int64)
+        union = d["sz_a"].to_numpy(np.int64) \
+            + d["sz_b"].to_numpy(np.int64) - c
+        jac = c / np.maximum(union, 1)
+        d = d[jac >= tau]
+        out = pa.table({"doc_a": pa.array(d["doc_a"].to_numpy(np.int64)),
+                        "doc_b": pa.array(d["doc_b"].to_numpy(np.int64)),
+                        "fp_jaccard": pa.array(jac[jac >= tau])},
+                       schema=_WINPAIR_SCHEMA)
+        if len(sent):
+            sent = sent.drop_duplicates(["doc_a", "doc_b"])
+            out = pa.concat_tables([out, pa.table(
+                {"doc_a": pa.array(sent["doc_a"].to_numpy(np.int64)),
+                 "doc_b": pa.array(sent["doc_b"].to_numpy(np.int64)),
+                 "fp_jaccard": pa.array(np.zeros(len(sent)))},
+                schema=_WINPAIR_SCHEMA)])
+        return out
+
+    cand = winnow_fingerprints(sf_dir) \
+        .map_batches(postings, batch_format="pyarrow") \
+        .groupby("mb").map_groups(mine, batch_format="pandas") \
+        .map_batches(bucketize_pairs, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(jaccard_filter, batch_format="pandas")
+    cand = split_cap_sentinels(cand, LAST_METRICS, "winnow_dup_pairs",
+                               "doc_a", _WINPAIR_SCHEMA)
+    df = cand.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "fp_jaccard": pd.Series(dtype=np.float64)})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -672,3 +672,26 @@ def test_pack_sequences_oversize_chunk_rides_alone(tmp_path, ray_session):
     out = textops.pack_sequences(str(d), budget=32).to_pandas() \
         .sort_values("chunk_idx")
     assert list(out["seq_id"]) == [1, 2]
+
+
+def test_winnow_dup_pairs_copy_detection(doc_dir):
+    # doc_dir: 100/101 exact dups, 102 near-dup (1 word), 103 unrelated
+    pairs = textops.winnow_dup_pairs(doc_dir, tau=0.5)
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (100, 101) in got
+    j = pairs.set_index(["doc_a", "doc_b"])["fp_jaccard"]
+    assert j.loc[(100, 101)] == 1.0          # identical fingerprint sets
+    # near-dup shares most character runs
+    assert {(100, 102), (101, 102)} <= got
+    assert j.loc[(100, 102)] < 1.0
+    # the unrelated doc never pairs at tau=0.5
+    assert 103 not in set(pairs.doc_a) | set(pairs.doc_b)
+
+
+def test_winnow_dup_pairs_cap_counted(doc_dir):
+    textops.winnow_dup_pairs(doc_dir, tau=0.5)
+    assert textops.LAST_METRICS["winnow_dup_pairs"] == {
+        "skipped_buckets": 0, "skipped_docs": 0}
+    capped = textops.winnow_dup_pairs(doc_dir, tau=0.5, cap=2)
+    m = textops.LAST_METRICS["winnow_dup_pairs"]
+    assert m["skipped_buckets"] > 0
