@@ -163,15 +163,22 @@ LAST_METRICS: dict[str, dict] = {}
 
 def _n_bits_for(n_rows: int) -> int:
     """Signature width scales with log2(n) so the EXPECTED bucket
-    occupancy — INCLUDING the x(N_BITS+1) both-sides multiprobe
-    inflation — stays ~1024, well under MAX_BUCKET.  With occupancy
+    occupancy — INCLUDING the x(n_bits+1) both-sides multiprobe
+    inflation, solved to a fixed point since probes grow with the width
+    itself — stays ~1024, well under MAX_BUCKET.  With occupancy
     pinned, candidate volume stays LINEAR in n (buckets x occ^2/2 =
     n x occ x T / 2), a uniformly loaded table can never silently trip
     the skip guard, and the driver scales (<= a few thousand rows) keep
     the same 8-bit setting the oracle equality was gated at."""
     import math
-    return max(N_BITS, math.ceil(math.log2(
-        max(n_rows, 2) * (N_BITS + 1) / 1024.0)))
+    bits = N_BITS
+    for _ in range(4):           # fixed point of bits -> probes(bits)
+        nxt = max(N_BITS, math.ceil(math.log2(
+            max(n_rows, 2) * (bits + 1) / 1024.0)))
+        if nxt == bits:
+            break
+        bits = nxt
+    return bits
 
 
 def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,

@@ -46,8 +46,14 @@ import ray.data as rd
 #: bounded bucket count for node/label-cardinality reduces — Ray's
 #: groupby().aggregate() pays per-GROUP overhead (textops._REDUCE_BUCKETS
 #: rule), so min-label and size reduces hash nodes into buckets and
-#: combine with a C-level pandas groupby inside map_groups.
-_CC_BUCKETS = 256
+#: combine with a C-level pandas groupby inside map_groups.  Shares the
+#: $OSMLINT_REDUCE_BUCKETS deployment tunable (the CC node stream is the
+#: largest reduce in the engine).
+def _cc_buckets() -> int:
+    from .textops import _REDUCE_BUCKETS
+    return _REDUCE_BUCKETS
+
+
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -55,7 +61,7 @@ def _min_label_reduce(ds: rd.Dataset) -> rd.Dataset:
     """groupby(node).min(label) via bounded node-hash buckets."""
     def bucketize(b: pa.Table) -> pa.Table:
         n = b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mb = ((n * _GOLD) >> np.uint64(40)).astype(np.int64) % _CC_BUCKETS
+        mb = ((n * _GOLD) >> np.uint64(40)).astype(np.int64) % _cc_buckets()
         return pa.table({"node": b["node"].cast(pa.int64()),
                          "label": b["label"].cast(pa.int64()),
                          "_mb": pa.array(mb)})
@@ -208,7 +214,7 @@ def cluster_labels(edges: rd.Dataset, *, max_rounds: int = 50,
     def size_bucketize(b: pa.Table) -> pa.Table:
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
         mb = ((lab * _GOLD) >> np.uint64(40)).astype(np.int64) \
-            % _CC_BUCKETS
+            % _cc_buckets()
         return pa.table({"label": b["label"].cast(pa.int64()),
                          "_sb": pa.array(mb)})
 

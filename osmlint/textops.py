@@ -478,12 +478,6 @@ def _skip_sentinel(n_ids: int, group_key: int, what: str,
     return pa.table({f.name: cols[f.name] for f in schema})
 
 
-def _mix_key(a: int, b: int) -> int:
-    """Unique-per-group int64 sentinel key from two group-key ints."""
-    k = (int(a) * 0x9E3779B97F4A7C15 + int(b)) & ((1 << 64) - 1)
-    return k - (1 << 64) if k >= (1 << 63) else k
-
-
 def _meta_bucket(keys: np.ndarray) -> np.ndarray:
     """Hash a group-key column down to a BOUNDED bucket id: every
     key-cardinality groupby in the engine reduces via
@@ -748,9 +742,35 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3,
 
     posts = read_shingles(sf_dir, ["doc_id", "sh"]) \
         .map_batches(postings, batch_format="pyarrow")
-    cand = posts.groupby("mb").map_groups(mine, batch_format="pandas") \
+    raw = posts.groupby("mb").map_groups(mine, batch_format="pandas") \
         .map_batches(bucketize_pairs, batch_format="pyarrow") \
-        .groupby("_mb").map_groups(count_prefilter, batch_format="pandas")
+        .materialize()
+    import pyarrow.compute as _pc
+    n_capped = raw.map_batches(
+        lambda b: pa.table({"n": pa.array(
+            [_pc.sum(_pc.less(b["doc_a"], 0)).as_py() or 0],
+            type=pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0
+    if n_capped == 0:
+        # fast path: shared-gram multiplicity == exact |A n B|, so the
+        # count step prefilters with the final Jaccard formula — the
+        # blob verify then touches only true positives
+        cand = raw.groupby("_mb").map_groups(count_prefilter,
+                                             batch_format="pandas")
+    else:
+        # a capped posting undercounts c, so the prefilter could drop a
+        # pair whose TRUE Jaccard passes — pairs the old exact-recall
+        # guarantee keeps (any UNCAPPED shared gram makes a candidate,
+        # and the blob verify sees the full sets incl. capped grams).
+        # Fall back to verifying every deduped candidate.
+        def dedup_only(g: pd.DataFrame) -> pa.Table:
+            d = g.drop_duplicates(["doc_a", "doc_b"])
+            return pa.table({
+                "doc_a": pa.array(d["doc_a"].to_numpy(np.int64)),
+                "doc_b": pa.array(d["doc_b"].to_numpy(np.int64))})
+
+        cand = raw.groupby("_mb").map_groups(dedup_only,
+                                             batch_format="pandas")
     cand = split_cap_sentinels(cand, LAST_METRICS, "dedup_ngram_jaccard",
                                "doc_a", _PAIR_SCHEMA)
     packed = read_shingles(sf_dir, ["doc_id", "sh"])
@@ -1854,8 +1874,9 @@ def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
     so no count-distinct and no pair explosion (a gram shared by a million
     docs costs one aggregate row, not 10^12 pairs).  The dup-key set is
     broadcast via ray.put below ``broadcast_max`` rows and degrades to a
-    distributed hash join above; span merging buckets by doc_id % 64 so
-    each map_groups call is a vectorized run over many docs.
+    distributed hash join above; span merging buckets by doc-id hash so
+    each map_groups call is a vectorized run over many docs (bounded
+    meta-buckets, $OSMLINT_REDUCE_BUCKETS-tunable).
     Within-doc-only repeats are NOT flagged (repetition_stats covers
     those)."""
     ckpt = dupspan_checkpoint(sf_dir, k)
@@ -1940,8 +1961,8 @@ def dup_spans(sf_dir: str, k: int = DUPSPAN_K,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column("bucket",
-                                   pa.array(ids % 64, type=pa.int64()))
+        return batch.append_column(
+            "bucket", pa.array(_meta_bucket(ids), type=pa.int64()))
 
     return hits.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket") \
@@ -2164,7 +2185,10 @@ def quality_percentile_filter(sf_dir: str,
     def keep(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         qb = qbin_of(df)
-        t = df["lang"].astype(str).map(thr).fillna(np.iinfo(np.int64).max) \
+        # fallback must survive the float64 round-trip map/fillna takes:
+        # int64-max is unrepresentable and wraps NEGATIVE on the cast
+        # (keeping every unknown-lang doc); 2^62 is exact in float64
+        t = df["lang"].astype(str).map(thr).fillna(float(1 << 62)) \
             .to_numpy(np.int64)
         m = qb >= t
         return pa.table({
@@ -2385,6 +2409,10 @@ def corpus_mix(sf_dir: str, weights: dict = MIX_WEIGHTS,
         .map_batches(cpartial, batch_format="pyarrow") \
         .groupby("source").aggregate(Sum("n", alias_name="n")).to_pandas()
     n_by = {str(r["source"]): float(r["n"]) for _, r in cnt.iterrows()}
+    if not n_by:                       # empty documents table
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "source": pa.array([], type=pa.string())}))
     w_by = {s: float(weights.get(s, default_w)) for s in n_by}
     t = min(n_by[s] / w_by[s] for s in n_by)
     thr = {s: _rate_hex((t * w_by[s]) / n_by[s]) for s in n_by}
@@ -2614,8 +2642,13 @@ def winnow_dup_pairs(sf_dir: str, tau: float = WINNOW_PAIR_TAU,
     posting can under-count shared fingerprints — the same recall-loss
     class every cap introduces, never silent."""
     def postings(batch: pa.Table) -> pa.Table:
-        # winnow rows for a doc never split across batches (winnow_batch
-        # explodes whole docs), so the per-doc DISTINCT size is exact here
+        # fingerprint + derive postings in ONE kernel over DOCUMENT rows:
+        # inside a single UDF invocation every fp row of a doc is local
+        # by construction, so the per-doc DISTINCT size is exact.
+        # (Consuming winnow_fingerprints() instead would be wrong: Ray's
+        # dynamic block splitting may slice that op's OUTPUT at arbitrary
+        # row boundaries, splitting a doc's rows across batches.)
+        batch = winnow_batch(batch)
         df = batch.to_pandas()[["doc_id", "fp"]].drop_duplicates()
         ids = df["doc_id"].to_numpy(np.int64)
         fp = df["fp"].to_numpy(np.int64)
@@ -2685,7 +2718,10 @@ def winnow_dup_pairs(sf_dir: str, tau: float = WINNOW_PAIR_TAU,
                 schema=_WINPAIR_SCHEMA)])
         return out
 
-    cand = winnow_fingerprints(sf_dir) \
+    path = os.path.join(sf_dir, "documents.parquet")
+    cand = rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=max(1, os.path.getsize(path) >> 27)) \
         .map_batches(postings, batch_format="pyarrow") \
         .groupby("mb").map_groups(mine, batch_format="pandas") \
         .map_batches(bucketize_pairs, batch_format="pyarrow") \
