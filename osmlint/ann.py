@@ -237,37 +237,13 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
             "mb": pa.array(_meta_bucket(gk_all))})
 
     def mine(g: pd.DataFrame) -> pa.Table:
-        # all-pairs per (table, sig) bucket inside one META-bucket: Ray's
-        # per-key map_groups / aggregate() pay per-GROUP overhead, so
-        # bucket-key-cardinality groupbys are the slow path (see
-        # textops._REDUCE_BUCKETS); the only Python loop here is over
-        # buckets that actually hold >= 2 docs
-        gk = g["gk"].to_numpy(np.int64)
-        ids = g["vec_id"].to_numpy(np.int64)
-        order = np.lexsort((ids, gk))
-        gk, ids = gk[order], ids[order]
-        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
-        gk, ids = gk[keep], ids[keep]
-        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
-        ends = np.r_[starts[1:], len(gk)]
-        sizes = ends - starts
-        tbls = []
-        for st, en in zip(starts[sizes >= 2], ends[sizes >= 2]):
-            n = int(en - st)
-            if n > max_bucket:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "cosine_pairs_lsh: skipping hot bucket with %d docs "
-                    "(> %d)", n, max_bucket)
-                tbls.append(pa.table(
-                    {"vec_a": pa.array([-n], type=pa.int64()),
-                     "vec_b": pa.array([int(gk[st])], type=pa.int64())}))
-                continue
-            i, j = np.triu_indices(n, k=1)
-            tbls.append(pa.table(
-                {"vec_a": pa.array(ids[st:en][i], type=pa.int64()),
-                 "vec_b": pa.array(ids[st:en][j], type=pa.int64())}))
-        return pa.concat_tables(tbls) if tbls else _PAIR_SCHEMA.empty_table()
+        # all-pairs per (table, sig) bucket inside one META-bucket (the
+        # textops._REDUCE_BUCKETS rule); shared miner, cosine column names
+        from .textops import _mine_bucket_pairs
+        return _mine_bucket_pairs(g["gk"].to_numpy(np.int64),
+                                  g["vec_id"].to_numpy(np.int64),
+                                  max_bucket, "cosine-LSH bucket",
+                                  schema=_PAIR_SCHEMA)
 
     def dedup(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["vec_a", "vec_b"])
@@ -275,12 +251,8 @@ def cosine_pairs_lsh(sf_dir: str, tau: float = 0.8, dim: int = 64,
                          "vec_b": pa.array(d["vec_b"].to_numpy(np.int64))})
 
     def bucketize_pairs(b: pa.Table) -> pa.Table:
-        from .textops import _meta_bucket
-        a = b["vec_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["vec_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_mb", pa.array(_meta_bucket(
-                a * np.uint64(0x9E3779B97F4A7C15) + bb), type=pa.int64()))
+        from .textops import _pair_mb
+        return _pair_mb(b, a="vec_a", b="vec_b")
 
     sigs = read_embeddings(sf_dir).map_batches(sign_batch,
                                                batch_format="pyarrow")

@@ -464,14 +464,16 @@ def band_explode(batch: pa.Table) -> pa.Table:
 
 def _skip_sentinel(n_ids: int, group_key: int, what: str,
                    schema: pa.Schema, cap: int = MAX_POSTING) -> pa.Table:
-    """Hot-bucket skip: warn AND emit a counted sentinel row
-    (doc_a = -size, doc_b = unique bucket key) so the cap is never silent
-    (metrics land in LAST_METRICS via ``split_cap_sentinels``)."""
+    """Hot-bucket skip: warn AND emit a counted sentinel row in the
+    schema's first two columns (id_col = -size, partner = unique bucket
+    key) so the cap is never silent (metrics land in LAST_METRICS via
+    ``split_cap_sentinels``)."""
     import logging
     logging.getLogger(__name__).warning(
         "skipping hot %s with %d docs (> %d)", what, n_ids, cap)
-    cols = {"doc_a": pa.array([-n_ids], type=pa.int64()),
-            "doc_b": pa.array([np.int64(group_key)], type=pa.int64())}
+    cols = {schema.names[0]: pa.array([-n_ids], type=pa.int64()),
+            schema.names[1]: pa.array([np.int64(group_key)],
+                                      type=pa.int64())}
     for f in schema:
         if f.name not in cols:
             cols[f.name] = pa.array([0], type=f.type)
@@ -488,31 +490,52 @@ def _meta_bucket(keys: np.ndarray) -> np.ndarray:
         .astype(np.int64) % _REDUCE_BUCKETS
 
 
+def _pair_mb(batch: pa.Table, a: str = "doc_a",
+             b: str = "doc_b") -> pa.Table:
+    """Append ``_mb`` = meta-bucket of the (a, b) pair key — the ONE
+    bucketize every pair-dedup/count step shares."""
+    aa = batch[a].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bb = batch[b].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return batch.append_column(
+        "_mb", pa.array(_meta_bucket(aa * _PRIME + bb), type=pa.int64()))
+
+
 def _mine_bucket_pairs(gk: np.ndarray, ids: np.ndarray, cap: int,
-                       what: str) -> pa.Table:
+                       what: str, schema: pa.Schema = None,
+                       payload: np.ndarray = None) -> pa.Table:
     """All-pairs within each gk-group of one meta-bucket: columnar
     (gk, doc) dedup + boundary scan; the only loop is over groups that
-    actually hold >= 2 docs (bounded by duplicate volume, not input)."""
+    actually hold >= 2 docs (bounded by duplicate volume, not input).
+
+    ``payload`` (optional, aligned with ``ids``, constant per id — e.g.
+    a set size or a simhash) emits two extra columns; ``schema`` then
+    names all four in order (doc_a, doc_b, payload_a, payload_b)."""
+    schema = schema if schema is not None else _PAIR_SCHEMA
     order = np.lexsort((ids, gk))
     k, v = gk[order], ids[order]
+    pl = payload[order] if payload is not None else None
     keep = np.r_[True, (k[1:] != k[:-1]) | (v[1:] != v[:-1])]
     k, v = k[keep], v[keep]
+    if pl is not None:
+        pl = pl[keep]
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     ends = np.r_[starts[1:], len(k)]
     sizes = ends - starts
+    names = schema.names
     tbls = []
     for st, en in zip(starts[sizes >= 2], ends[sizes >= 2]):
         n = int(en - st)
         if n > cap:
-            tbls.append(_skip_sentinel(n, int(k[st]), what,
-                                       _PAIR_SCHEMA, cap))
+            tbls.append(_skip_sentinel(n, int(k[st]), what, schema, cap))
             continue
         i, j = np.triu_indices(n, k=1)
-        tbls.append(pa.table({"doc_a": pa.array(v[st:en][i],
-                                                type=pa.int64()),
-                              "doc_b": pa.array(v[st:en][j],
-                                                type=pa.int64())}))
-    return pa.concat_tables(tbls) if tbls else _PAIR_SCHEMA.empty_table()
+        cols = {names[0]: pa.array(v[st:en][i], type=pa.int64()),
+                names[1]: pa.array(v[st:en][j], type=pa.int64())}
+        if pl is not None:
+            cols[names[2]] = pa.array(pl[st:en][i], type=pa.int64())
+            cols[names[3]] = pa.array(pl[st:en][j], type=pa.int64())
+        tbls.append(pa.table(cols, schema=schema))
+    return pa.concat_tables(tbls) if tbls else schema.empty_table()
 
 
 def _verify_jaccard_ds(cand: rd.Dataset, packed: rd.Dataset, tau: float,
@@ -595,19 +618,12 @@ def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
     """One row per (doc_a, doc_b): meta-bucket groupby + C-level pandas
     dedup inside — NOT a pair-cardinality aggregate() (per-GROUP
     overhead) and NOT a per-pair map_groups."""
-    def bucketize(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
-                            type=pa.int64()))
-
     def dd(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["doc_a", "doc_b"])
         return pa.table({"doc_a": pa.array(d["doc_a"].to_numpy(np.int64)),
                          "doc_b": pa.array(d["doc_b"].to_numpy(np.int64))})
 
-    return ds.map_batches(bucketize, batch_format="pyarrow") \
+    return ds.map_batches(_pair_mb, batch_format="pyarrow") \
         .groupby("_mb").map_groups(dd, batch_format="pandas")
 
 
@@ -682,32 +698,11 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3,
         # one (doc_a, doc_b, sz_a, sz_b) row PER SHARED NGRAM: the
         # multiplicity is the exact |A n B|, so the count step below
         # prefilters with the exact Jaccard before any blob join
-        gk = g["ngram"].to_numpy(np.int64)
-        ids = g["doc_id"].to_numpy(np.int64)
-        sz = g["sz"].to_numpy(np.int64)
-        order = np.lexsort((ids, gk))
-        gk, ids, sz = gk[order], ids[order], sz[order]
-        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
-        gk, ids, sz = gk[keep], ids[keep], sz[keep]
-        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
-        ends = np.r_[starts[1:], len(gk)]
-        gsz = ends - starts
-        tbls = []
-        for st, en in zip(starts[gsz >= 2], ends[gsz >= 2]):
-            n = int(en - st)
-            if n > cap:
-                tbls.append(_skip_sentinel(n, int(gk[st]),
-                                           "n-gram posting",
-                                           _CSZ_SCHEMA, cap))
-                continue
-            i, j = np.triu_indices(n, k=1)
-            tbls.append(pa.table(
-                {"doc_a": pa.array(ids[st:en][i], type=pa.int64()),
-                 "doc_b": pa.array(ids[st:en][j], type=pa.int64()),
-                 "sz_a": pa.array(sz[st:en][i], type=pa.int64()),
-                 "sz_b": pa.array(sz[st:en][j], type=pa.int64())},
-                schema=_CSZ_SCHEMA))
-        return pa.concat_tables(tbls) if tbls else _CSZ_SCHEMA.empty_table()
+        return _mine_bucket_pairs(g["ngram"].to_numpy(np.int64),
+                                  g["doc_id"].to_numpy(np.int64),
+                                  cap, "n-gram posting",
+                                  schema=_CSZ_SCHEMA,
+                                  payload=g["sz"].to_numpy(np.int64))
 
     def count_prefilter(g: pd.DataFrame) -> pa.Table:
         # shared-gram count == exact intersection size (absent caps), so
@@ -733,17 +728,10 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.3,
                  "doc_b": pa.array(sent["doc_b"].to_numpy(np.int64))})])
         return out
 
-    def bucketize_pairs(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
-                            type=pa.int64()))
-
     posts = read_shingles(sf_dir, ["doc_id", "sh"]) \
         .map_batches(postings, batch_format="pyarrow")
     raw = posts.groupby("mb").map_groups(mine, batch_format="pandas") \
-        .map_batches(bucketize_pairs, batch_format="pyarrow") \
+        .map_batches(_pair_mb, batch_format="pyarrow") \
         .materialize()
     import pyarrow.compute as _pc
     n_capped = raw.map_batches(
@@ -826,45 +814,32 @@ def simhash_dup_pairs(sf_dir: str,
                 .sum(axis=1).astype(np.int64)
         return ham
 
+    _SIMCAND_SCHEMA = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("sh_a", pa.int64()), ("sh_b", pa.int64())])
+
     def mine(g: pd.DataFrame) -> pa.Table:
-        gk = g["gk"].to_numpy(np.int64)
-        ids = g["doc_id"].to_numpy(np.int64)
-        sh = g["simhash"].to_numpy(np.int64)
-        order = np.lexsort((ids, gk))
-        gk, ids, sh = gk[order], ids[order], sh[order]
-        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
-        gk, ids, sh = gk[keep], ids[keep], sh[keep].astype(np.uint64)
-        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
-        ends = np.r_[starts[1:], len(gk)]
-        sizes = ends - starts
-        tbls = []
-        for st, en in zip(starts[sizes >= 2], ends[sizes >= 2]):
-            n = int(en - st)
-            if n > cap:
-                tbls.append(_skip_sentinel(n, int(gk[st]), "simhash bucket",
-                                           _SIMPAIR_SCHEMA, cap))
-                continue
-            i, j = np.triu_indices(n, k=1)
-            x = sh[st:en][i] ^ sh[st:en][j]
-            ham = popcount(x)
-            m = ham <= max_hamming
-            tbls.append(pa.table({
-                "doc_a": pa.array(ids[st:en][i][m], type=pa.int64()),
-                "doc_b": pa.array(ids[st:en][j][m], type=pa.int64()),
-                "hamming": pa.array(ham[m], type=pa.int64())}))
-        return pa.concat_tables(tbls) if tbls \
-            else _SIMPAIR_SCHEMA.empty_table()
+        t = _mine_bucket_pairs(g["gk"].to_numpy(np.int64),
+                               g["doc_id"].to_numpy(np.int64),
+                               cap, "simhash bucket",
+                               schema=_SIMCAND_SCHEMA,
+                               payload=g["simhash"].to_numpy(np.int64))
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        sent = a < 0
+        x = t["sh_a"].to_numpy(zero_copy_only=False).astype(np.uint64) \
+            ^ t["sh_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ham = popcount(x)
+        keep = sent | (ham <= max_hamming)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(b[keep], type=pa.int64()),
+            "hamming": pa.array(np.where(sent, 0, ham)[keep],
+                                type=pa.int64())}, schema=_SIMPAIR_SCHEMA)
 
     sims = read_shingles(sf_dir, ["doc_id", "simhash"])
     cand = sims.map_batches(explode, batch_format="pyarrow") \
         .groupby("mb").map_groups(mine, batch_format="pandas")
-
-    def bucketize_pairs(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
-                            type=pa.int64()))
 
     def min_ham(g: pd.DataFrame) -> pa.Table:
         d = g.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min() \
@@ -874,7 +849,7 @@ def simhash_dup_pairs(sf_dir: str,
                          "hamming": pa.array(d["hamming"]
                                              .to_numpy(np.int64))})
 
-    df = cand.map_batches(bucketize_pairs, batch_format="pyarrow") \
+    df = cand.map_batches(_pair_mb, batch_format="pyarrow") \
         .groupby("_mb").map_groups(min_ham, batch_format="pandas") \
         .to_pandas()
     sent = df[df["doc_a"] < 0] if len(df) else df
@@ -2660,40 +2635,11 @@ def winnow_dup_pairs(sf_dir: str, tau: float = WINNOW_PAIR_TAU,
                          "mb": pa.array(_meta_bucket(fp))})
 
     def mine(g: pd.DataFrame) -> pa.Table:
-        gk = g["fp"].to_numpy(np.int64)
-        ids = g["doc_id"].to_numpy(np.int64)
-        sz = g["sz"].to_numpy(np.int64)
-        order = np.lexsort((ids, gk))
-        gk, ids, sz = gk[order], ids[order], sz[order]
-        keep = np.r_[True, (gk[1:] != gk[:-1]) | (ids[1:] != ids[:-1])]
-        gk, ids, sz = gk[keep], ids[keep], sz[keep]
-        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
-        ends = np.r_[starts[1:], len(gk)]
-        gsz = ends - starts
-        tbls = []
-        for st, en in zip(starts[gsz >= 2], ends[gsz >= 2]):
-            n = int(en - st)
-            if n > cap:
-                tbls.append(_skip_sentinel(n, int(gk[st]),
-                                           "winnow fingerprint",
-                                           _WINCAND_SCHEMA, cap))
-                continue
-            i, j = np.triu_indices(n, k=1)
-            tbls.append(pa.table(
-                {"doc_a": pa.array(ids[st:en][i], type=pa.int64()),
-                 "doc_b": pa.array(ids[st:en][j], type=pa.int64()),
-                 "sz_a": pa.array(sz[st:en][i], type=pa.int64()),
-                 "sz_b": pa.array(sz[st:en][j], type=pa.int64())},
-                schema=_WINCAND_SCHEMA))
-        return pa.concat_tables(tbls) if tbls \
-            else _WINCAND_SCHEMA.empty_table()
-
-    def bucketize_pairs(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bb = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return b.append_column(
-            "_mb", pa.array(_meta_bucket(a * _PRIME + bb),
-                            type=pa.int64()))
+        return _mine_bucket_pairs(g["fp"].to_numpy(np.int64),
+                                  g["doc_id"].to_numpy(np.int64),
+                                  cap, "winnow fingerprint",
+                                  schema=_WINCAND_SCHEMA,
+                                  payload=g["sz"].to_numpy(np.int64))
 
     def jaccard_filter(g: pd.DataFrame) -> pa.Table:
         sent = g[g["doc_a"] < 0]
@@ -2724,7 +2670,7 @@ def winnow_dup_pairs(sf_dir: str, tau: float = WINNOW_PAIR_TAU,
         override_num_blocks=max(1, os.path.getsize(path) >> 27)) \
         .map_batches(postings, batch_format="pyarrow") \
         .groupby("mb").map_groups(mine, batch_format="pandas") \
-        .map_batches(bucketize_pairs, batch_format="pyarrow") \
+        .map_batches(_pair_mb, batch_format="pyarrow") \
         .groupby("_mb").map_groups(jaccard_filter, batch_format="pandas")
     cand = split_cap_sentinels(cand, LAST_METRICS, "winnow_dup_pairs",
                                "doc_a", _WINPAIR_SCHEMA)
