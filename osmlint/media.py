@@ -162,3 +162,40 @@ def media_frame_sample(data_dir: str, every_s: int = 5) -> rd.Dataset:
     ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
     return ds.map_batches(frame_sample_batch, batch_format="pyarrow",
                           fn_kwargs={"every_s": every_s})
+
+
+def media_dedup(data_dir: str) -> rd.Dataset:
+    """Media-level dedup: one keeper per perceptual hash — the image
+    analog of ``textops.dedup_exact`` (a real pipeline would feed pHash /
+    SIFT-bucket signatures here; the deterministic fake codec supplies
+    ``phash``, and the same entity image attached under several map
+    partitions is the duplicate class this catches).
+
+    Shape: (phash, doc_id) rows only — bytes never shuffle — reduced
+    through bounded phash-hash buckets (the textops._REDUCE_BUCKETS
+    rule); keeper = lexicographic min doc_id per hash."""
+    import numpy as np
+    import pandas as pd
+
+    from .textops import _meta_bucket
+
+    def keys(batch: pa.Table) -> pa.Table:
+        t = media_feature_batch(batch)
+        ph = t["phash"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "phash": t["phash"],
+                         "mb": pa.array(_meta_bucket(ph),
+                                        type=pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("phash", sort=False)["doc_id"] \
+            .agg(["min", "size"]).reset_index()
+        return pa.table({
+            "phash": pa.array(d["phash"].to_numpy(np.int64)),
+            "doc_id": pa.array(d["min"].astype(str), type=pa.string()),
+            "n_copies": pa.array(d["size"].to_numpy(np.int64))})
+
+    ds = read_documents(data_dir)
+    ds = ds.map_batches(decode_and_index, batch_format="pyarrow")
+    return ds.map_batches(keys, batch_format="pyarrow") \
+        .groupby("mb").map_groups(combine, batch_format="pandas")

@@ -1806,3 +1806,14 @@ JOIN sz sa ON sa.doc_id = shared.doc_a
 JOIN sz sb ON sb.doc_id = shared.doc_b
 WHERE CAST(c AS DOUBLE) / greatest(sa.s + sb.s - c, 1) >= {tau!r}
 ORDER BY shared.doc_a, shared.doc_b"""
+
+
+def media_dedup_sql(d: str) -> str:
+    """One keeper (lexicographic min doc_id) per fake-codec phash."""
+    return f"""
+SELECT CAST((osm_id * 2654435761) % 2147483648 AS BIGINT) AS phash,
+       min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM read_parquet({q(d + '/flat.parquet')})
+WHERE media_img IS NOT NULL
+GROUP BY 1 ORDER BY 1"""

@@ -439,6 +439,11 @@ def media_frame_sample(sf_dir: str):
     return media.media_frame_sample(_synth(sf_dir))
 
 
+def media_dedup(sf_dir: str):
+    from . import media
+    return media.media_dedup(_synth(sf_dir))
+
+
 def raster_sample(sf_dir: str):
     from . import raster
     return raster.sample(_synth(sf_dir))
@@ -569,6 +574,7 @@ def ray_queries() -> dict:
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
+        "media_dedup": media_dedup,
         "fix_plan": fix_plan,
         "raster_sample": raster_sample,
         "raster_zonal_stats": raster_zonal_stats,
@@ -698,6 +704,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_features": oracle_sql.media_features_sql(d),
         "media_resize": oracle_sql.media_resize_sql(d),
         "media_frame_sample": oracle_sql.media_frame_sample_sql(d),
+        "media_dedup": oracle_sql.media_dedup_sql(d),
         "fix_plan": oracle_sql.fix_plan_sql(d),
         "raster_sample": oracle_sql.raster_sample_sql(d, CELL_RES),
         "raster_zonal_stats": oracle_sql.raster_zonal_stats_sql(d, CELL_RES),

@@ -132,3 +132,19 @@ def test_config_from_json(synth_small):
     with pytest.raises(KeyError, match="unknown check FQNs"):
         config.from_json({"G": {"maps": {"m": "s"},
                                 "checks": ["checks.NopeCheck"]}})
+
+
+def test_media_dedup_keeper_semantics(ray_session):
+    from osmlint import media, queries
+    sf = "/root/testdata/sf0.001"
+    d = queries._synth(sf)
+    out = media.media_dedup(d).to_pandas()
+    feats = media.media_features(d).to_pandas()
+    # keeper is the lexicographic min doc_id of its phash group; copy
+    # counts sum back to the full media row count
+    grp = feats.groupby("phash")["doc_id"]
+    assert out["n_copies"].sum() == len(feats)
+    m = out.set_index("phash")
+    for ph, g in list(grp)[:50]:
+        assert m.loc[ph, "doc_id"] == g.min()
+        assert m.loc[ph, "n_copies"] == len(g)
