@@ -518,3 +518,51 @@ def embedding_centroids(sf_dir: str) -> pd.DataFrame:
     out = agg[["label", "dim_idx", "centroid", "n_vecs"]] \
         .astype({"label": np.int64, "dim_idx": np.int64})
     return out.sort_values(["label", "dim_idx"]).reset_index(drop=True)
+
+
+def knn_graph(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Exact k-NN graph over ALL vectors (the backbone structure for
+    embedding clustering / diversity pruning): per batch one matmul
+    against the broadcast normalized matrix, per-row top-k partials,
+    self excluded, ties to the lower neighbor id.
+
+    O(N^2) compute with an O(N) broadcast — guarded by
+    ``MAX_EXACT_PAIR_ROWS`` exactly like ``cosine_pairs`` (the scale
+    path for neighbor structure is the IVF index / LSH pair miner;
+    this is the exact baseline they are judged against)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > MAX_EXACT_PAIR_ROWS:
+        raise ValueError(
+            f"knn_graph is the exact O(N^2) baseline and refuses inputs "
+            f"over {MAX_EXACT_PAIR_ROWS} rows (got {n_rows}); build the "
+            f"neighbor structure with topk_neighbors_ivf at scale")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    all_ids, all_mat = _batch_matrix(tbl)
+    order = np.argsort(all_ids)
+    ref = ray.put((all_ids[order], _normalize(all_mat)[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aids, am = ray.get(ref)
+        ids, m = _batch_matrix(batch)
+        sims = _normalize(m) @ am.T                      # (batch, N)
+        self_col = np.searchsorted(aids, ids)
+        sims[np.arange(len(ids)), self_col] = -np.inf    # exclude self
+        kk = min(k, sims.shape[1] - 1)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = aids[top.reshape(-1)]
+        s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        return pa.table({
+            "vec_id": pa.array(rows, type=pa.int64()),
+            "neighbor_id": pa.array(cols, type=pa.int64()),
+            "sim": pa.array(s, type=pa.float64())})
+
+    df = read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["vec_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("vec_id").cumcount().astype(np.int64) + 1
+    df = df[df["rank"] <= k]
+    return df[["vec_id", "neighbor_id", "rank"]].reset_index(drop=True)

@@ -364,3 +364,62 @@ def retention(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     df["day_offset"] = df["day_offset"].astype(np.int64)
     return df.sort_values(["cohort_day", "day_offset"]) \
         .reset_index(drop=True)
+
+
+ANOMALY_Z = 3.0
+
+
+def anomalies(sf_dir: str, z_thresh: float = ANOMALY_Z) -> pd.DataFrame:
+    """Per-event-type value outliers: |z| >= z_thresh against the type's
+    own population mean/std — the streaming-metrics anomaly gate.
+
+    Two bounded passes: (sum, sumsq, n) partials -> a #types groupby
+    gives the moments; the second pass filters with the tiny broadcast
+    stats map.  z is rounded to 6 dp with the engine's floor convention
+    (population std, sqrt(max(E[x^2] - mean^2, 0)))."""
+    ds = read_events(sf_dir, columns=["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", sort=False)["value"] \
+            .agg(s="sum", ss=lambda x: float((x.to_numpy() ** 2).sum()),
+                 n="size").reset_index()
+        return pa.table({"event_type": pa.array(g["event_type"]
+                                                .astype(str)),
+                         "s": pa.array(g["s"].to_numpy(np.float64)),
+                         "ss": pa.array(g["ss"].to_numpy(np.float64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("s", alias_name="s"), Sum("ss", alias_name="ss"),
+                      Sum("n", alias_name="n")).to_pandas())
+    stats = {}
+    for r in agg.itertuples():
+        mean = r.s / r.n
+        std = float(np.sqrt(max(r.ss / r.n - mean * mean, 0.0)))
+        stats[str(r.event_type)] = (mean, max(std, 1e-30))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        mean = df["event_type"].astype(str).map(
+            {k: v[0] for k, v in stats.items()}).to_numpy(np.float64)
+        std = df["event_type"].astype(str).map(
+            {k: v[1] for k, v in stats.items()}).to_numpy(np.float64)
+        z = (df["value"].to_numpy(np.float64) - mean) / std
+        z = np.floor(z * 1e6 + 0.5) / 1e6
+        m = np.abs(z) >= z_thresh
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)[m]),
+            "event_type": pa.array(df["event_type"].astype(str)[m],
+                                   type=pa.string()),
+            "value": pa.array(df["value"].to_numpy(np.float64)[m]),
+            "z": pa.array(z[m])})
+
+    df = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                           "event_type": pd.Series(dtype=str),
+                           "value": pd.Series(dtype=np.float64),
+                           "z": pd.Series(dtype=np.float64)})
+    return df.sort_values("event_id").reset_index(drop=True)

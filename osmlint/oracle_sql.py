@@ -1817,3 +1817,40 @@ SELECT CAST((osm_id * 2654435761) % 2147483648 AS BIGINT) AS phash,
 FROM read_parquet({q(d + '/flat.parquet')})
 WHERE media_img IS NOT NULL
 GROUP BY 1 ORDER BY 1"""
+
+
+def knn_graph_sql(k: int) -> str:
+    """Exact k-NN graph: all-pairs cosine rank per vector, self excluded,
+    ties to the lower neighbor id (the kernel's stable sort order)."""
+    return f"""
+WITH s AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= {k} ORDER BY vec_id, rank"""
+
+
+def events_anomalies_sql(z_thresh: float) -> str:
+    """Per-type z-score outliers, population moments mirrored
+    term-for-term (mean = s/n, std = sqrt(max(ss/n - mean^2, 0)) with
+    the 1e-30 floor), z rounded to 6 dp before the threshold."""
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         sum(value) / count(*) AS mean,
+         greatest(sqrt(greatest(sum(value * value) / count(*)
+                                - (sum(value) / count(*))
+                                  * (sum(value) / count(*)), 0.0)),
+                  1e-30) AS std
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         floor((e.value - m.mean) / m.std * 1e6 + 0.5) / 1e6 AS z
+  FROM events e JOIN m USING (event_type)
+)
+SELECT event_id, event_type, value, z FROM z
+WHERE abs(z) >= {z_thresh!r} ORDER BY event_id"""

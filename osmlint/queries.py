@@ -373,6 +373,11 @@ def embedding_centroids(sf_dir: str):
     return ann.embedding_centroids(sf_dir)
 
 
+def knn_graph(sf_dir: str):
+    from . import ann
+    return ann.knn_graph(sf_dir, k=ANN_K)
+
+
 def ann_topk_ivf(sf_dir: str):
     from . import ann
     return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
@@ -422,6 +427,11 @@ def events_range_join(sf_dir: str):
 def events_retention(sf_dir: str):
     from . import eventops
     return eventops.retention(sf_dir)
+
+
+def events_anomalies(sf_dir: str):
+    from . import eventops
+    return eventops.anomalies(sf_dir)
 
 
 def media_features(sf_dir: str):
@@ -561,6 +571,7 @@ def ray_queries() -> dict:
         "embedding_quantize": embedding_quantize,
         "ann_topk": ann_topk,
         "embedding_centroids": embedding_centroids,
+        "knn_graph": knn_graph,
         "ann_topk_ivf": ann_topk_ivf,
         "ann_topk_ivf_fullprobe": ann_topk_ivf_fullprobe,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -571,6 +582,7 @@ def ray_queries() -> dict:
         "events_funnel": events_funnel,
         "events_range_join": events_range_join,
         "events_retention": events_retention,
+        "events_anomalies": events_anomalies,
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
@@ -683,6 +695,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,
         "embedding_centroids": oracle_sql.EMBEDDING_CENTROIDS_SQL,
+        "knn_graph": oracle_sql.knn_graph_sql(ANN_K),
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         # full-probe IVF == exact top-k by construction: every list is
         # scanned, so the approximation is off and the index machinery
@@ -701,6 +714,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_range_join": oracle_sql.events_range_join_sql(
             _eventops().RANGE_JOIN_SOURCES, _eventops().RANGE_GAP_MIN),
         "events_retention": oracle_sql.EVENTS_RETENTION_SQL,
+        "events_anomalies": oracle_sql.events_anomalies_sql(
+            _eventops().ANOMALY_Z),
         "media_features": oracle_sql.media_features_sql(d),
         "media_resize": oracle_sql.media_resize_sql(d),
         "media_frame_sample": oracle_sql.media_frame_sample_sql(d),

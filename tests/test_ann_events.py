@@ -289,3 +289,52 @@ def test_events_retention_triangle(tmp_path, ray_session):
     assert tri == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 3): 1,
                    ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
+
+
+def test_knn_graph_exact_and_guard(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    g = ann.knn_graph(sf, k=3)
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.maximum(np.sqrt((m * m).sum(1, keepdims=True)), 1e-30)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    ids = t["vec_id"].to_numpy()
+    byv = g.groupby("vec_id")
+    for vid in ids[:25]:
+        row = sims[vid]
+        order = np.lexsort((ids, -row))[:3]
+        assert list(byv.get_group(vid).sort_values("rank")
+                    ["neighbor_id"]) == list(ids[order])
+    # the O(N^2) guard refuses oversized inputs
+    old = ann.MAX_EXACT_PAIR_ROWS
+    ann.MAX_EXACT_PAIR_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="refuses inputs"):
+            ann.knn_graph(sf)
+    finally:
+        ann.MAX_EXACT_PAIR_ROWS = old
+
+
+def test_events_anomalies_zscore(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from osmlint import eventops
+    d = tmp_path / "anom"
+    d.mkdir()
+    vals = [10.0] * 50 + [1000.0]          # one wild outlier
+    df = pd.DataFrame({
+        "event_id": range(51), "ts": pd.Timestamp("2024-01-01"),
+        "user_id": 1, "event_type": "click", "value": vals,
+        "props": "{}"})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    out = eventops.anomalies(str(d))
+    assert list(out["event_id"]) == [50]
+    assert out["z"].iloc[0] > 3
