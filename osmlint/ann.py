@@ -566,3 +566,97 @@ def knn_graph(sf_dir: str, k: int = 5) -> pd.DataFrame:
     df["rank"] = df.groupby("vec_id").cumcount().astype(np.int64) + 1
     df = df[df["rank"] <= k]
     return df[["vec_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means over the embeddings table (iterative algorithm)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_MAX_ITERS = 20
+KMEANS_TOL = 1e-6
+
+#: exposed after every run: iterations used + whether centroids converged
+#: (the "no silent caps" surface for the iteration bound).
+KMEANS_LAST_INFO: dict = {}
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     max_iters: int = KMEANS_MAX_ITERS,
+                     tol: float = KMEANS_TOL) -> pd.DataFrame:
+    """Full distributed Lloyd's k-means over ALL embeddings — the
+    engine's iterative-algorithm representative (IVF uses a driver-side
+    sample; this one never materializes the table).
+
+    Per iteration: centroids broadcast once (``ray.put``), one
+    map_batches pass emits per-batch (cluster, partial_sum, count) rows
+    (k x dim x #blocks — block-bounded, never row-bounded), one BOUNDED
+    groupby reduces them, and the driver updates k x dim floats.
+    Deterministic: init is the k lowest vec_ids' vectors, ties in the
+    assignment argmin break to the lowest cluster index.  Iteration
+    count and convergence land in ``KMEANS_LAST_INFO`` (never silent).
+    Rows-only check by design: an iterative fixpoint is not
+    SQL-expressible — invariants are pytest-asserted instead."""
+    from ray.data.aggregate import Sum
+    q_ids, q_mat = _batch_matrix(_query_vectors(sf_dir, k))
+    order = np.argsort(q_ids)
+    cent = _normalize(q_mat[order]).astype(np.float64)
+    dim = cent.shape[1]
+
+    def assign_partial(batch: pa.Table, cent_ref) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m)
+        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        uniq, inv = np.unique(a, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, mn)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dim))})
+
+    ds = read_embeddings(sf_dir, coalesce=True)
+    converged, it = False, 0
+    for it in range(1, max_iters + 1):
+        cent_ref = ray.put(cent)
+        agg = ds.map_batches(assign_partial, batch_format="pyarrow",
+                             fn_kwargs={"cent_ref": cent_ref}) \
+            .groupby(["cluster", "dim_idx"]) \
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+            .to_pandas()
+        new = cent.copy()
+        for cl, g in agg.groupby("cluster"):
+            g = g.sort_values("dim_idx")
+            new[int(cl)] = (g["s"].to_numpy(np.float64)
+                            / np.maximum(g["n"].to_numpy(np.float64), 1))
+        shift = float(np.abs(new - cent).max())
+        cent = new
+        if shift < tol:
+            converged = True
+            break
+    KMEANS_LAST_INFO.update({"iters": it, "converged": converged})
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "embedding_kmeans stopped at max_iters=%d (last shift > %g) "
+            "— assignments reflect the LAST centroids", max_iters, tol)
+    final_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m)
+        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1).astype(np.int64)
+        dist = np.floor(np.sqrt(d[np.arange(len(a)), a]) * 1e6 + 0.5) / 1e6
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                         "cluster": pa.array(a),
+                         "dist": pa.array(dist)})
+
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)

@@ -378,6 +378,11 @@ def knn_graph(sf_dir: str):
     return ann.knn_graph(sf_dir, k=ANN_K)
 
 
+def embedding_kmeans(sf_dir: str):
+    from . import ann
+    return ann.embedding_kmeans(sf_dir)
+
+
 def ann_topk_ivf(sf_dir: str):
     from . import ann
     return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
@@ -572,6 +577,7 @@ def ray_queries() -> dict:
         "ann_topk": ann_topk,
         "embedding_centroids": embedding_centroids,
         "knn_graph": knn_graph,
+        "embedding_kmeans": embedding_kmeans,
         "ann_topk_ivf": ann_topk_ivf,
         "ann_topk_ivf_fullprobe": ann_topk_ivf_fullprobe,
         "embedding_cosine_pairs": embedding_cosine_pairs,
@@ -613,7 +619,10 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
       driver's sf before any driver run can see a drift.
     * ``ann_topk_ivf`` — still rows-only (nprobe truncation is genuinely
       approximate); its soundness property (reported rank never beats the
-      exact rank) is pytest-asserted instead."""
+      exact rank) is pytest-asserted instead.
+    * ``embedding_kmeans`` — rows-only: an iterative fixpoint is not
+      SQL-expressible; assignment optimality, partition totality and
+      determinism are pytest-asserted instead."""
     d = _synth(sf_dir)
     return {
         "lint_flags": oracle_sql.lint_flags_sql(d),

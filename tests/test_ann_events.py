@@ -338,3 +338,30 @@ def test_events_anomalies_zscore(tmp_path, ray_session):
     out = eventops.anomalies(str(d))
     assert list(out["event_id"]) == [50]
     assert out["z"].iloc[0] > 3
+
+
+def test_embedding_kmeans_invariants(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    a1 = ann.embedding_kmeans(sf)
+    assert ann.KMEANS_LAST_INFO["converged"]
+    # determinism across runs
+    a2 = ann.embedding_kmeans(sf)
+    pd.testing.assert_frame_equal(a1, a2)
+    # totality: every vector assigned exactly once
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    assert sorted(a1["vec_id"]) == sorted(t["vec_id"])
+    # assignment optimality: each vec sits in its NEAREST final centroid
+    # (recompute centroids from the reported assignment — at a Lloyd's
+    # fixpoint the means reproduce the assignment)
+    m = np.stack(t.sort_values("vec_id")["embedding"].to_numpy()) \
+        .astype(np.float64)
+    mn = m / np.maximum(np.sqrt((m * m).sum(1, keepdims=True)), 1e-30)
+    lab = a1.sort_values("vec_id")["cluster"].to_numpy()
+    cents = np.stack([mn[lab == c].mean(axis=0)
+                      for c in range(ann.KMEANS_K)])
+    d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assert (d.argmin(axis=1) == lab).mean() > 0.99   # fixpoint (ties aside)
