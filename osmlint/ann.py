@@ -660,3 +660,171 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
 
     df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
     return df.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# approximate k-NN graph via the IVF index (the scale path knn_graph lacks)
+# ---------------------------------------------------------------------------
+
+def _empty_knn_parts() -> pa.Table:
+    return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                     "neighbor_id": pa.array([], type=pa.int64()),
+                     "sim": pa.array([], type=pa.float64())})
+
+
+def knn_graph_ivf(sf_dir: str, k: int = 5, n_lists: int = IVF_K,
+                  nprobe: int = IVF_NPROBE) -> pd.DataFrame:
+    """Approximate k-NN graph over ALL vectors through the IVF index —
+    the scale path ``knn_graph`` (exact, O(N^2)-guarded at
+    ``MAX_EXACT_PAIR_ROWS``) deliberately refuses to be.
+
+    Shape: coarse centroids from a streamed ``limit(IVF_SAMPLE)`` sample
+    (never a full read); ONE routing pass replicates each vector into its
+    ``nprobe`` nearest lists as a PROBER and marks the single nearest
+    list as its MEMBER list (replication factor nprobe — bounded, known);
+    ``groupby(list)`` colocates each list; the per-list kernel is one
+    probers x members matmul with per-prober top-(k+1) partials; a
+    BOUNDED meta-bucket groupby (vec_id hash, not vec_id itself — Ray
+    pays per-group overhead) reduces the <= N*nprobe*(k+1) partials to
+    the final N*k edges.  No all-pairs, no full-table broadcast, no
+    driver-side reduce.
+
+    Approximate when nprobe < n_lists (a true neighbor in an unprobed
+    list is missed) — registered rows-only; ``knn_graph_ivf_fullprobe``
+    (nprobe == n_lists, every list scanned) is exact BY CONSTRUCTION and
+    carries the hard ``knn_graph`` SQL oracle, same pattern as
+    ``ann_topk_ivf_fullprobe``."""
+    from .textops import _meta_bucket
+
+    sample_df = read_embeddings(sf_dir).limit(IVF_SAMPLE).to_pandas()
+    s_mat = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    cent = _kmeans(_normalize(s_mat), n_lists, IVF_ITERS)
+    nprobe = min(nprobe, len(cent))
+    cent_ref = ray.put(cent)
+
+    def route(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m)
+        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # nprobe nearest lists per vector; column 0 is the member list
+        probes = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        n, dim = mn.shape
+        rep = np.repeat(mn, nprobe, axis=0)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.reshape(-1), type=pa.float64()), dim)
+        member = np.zeros((n, nprobe), dtype=bool)
+        member[:, 0] = True
+        return pa.table({
+            "list": pa.array(probes.reshape(-1).astype(np.int64)),
+            "vec_id": pa.array(np.repeat(ids, nprobe), type=pa.int64()),
+            "member": pa.array(member.reshape(-1)),
+            "vec": vec})
+
+    def search(g: pd.DataFrame) -> pa.Table:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mem = g["member"].to_numpy().astype(bool)
+        if not mem.any():
+            return _empty_knn_parts()
+        m = np.stack(g["vec"].to_numpy())
+        mem_ids, mem_m = ids[mem], m[mem]
+        sims = m @ mem_m.T                           # (probers, members)
+        sims[ids[:, None] == mem_ids[None, :]] = -np.inf   # self
+        kk = min(k, sims.shape[1] - 1) + 1
+        kk = min(kk, sims.shape[1])
+        if kk <= 0:
+            return _empty_knn_parts()
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        keep = np.isfinite(s)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, kk)[keep], type=pa.int64()),
+            "neighbor_id": pa.array(mem_ids[top.reshape(-1)][keep],
+                                    type=pa.int64()),
+            "sim": pa.array(s[keep], type=pa.float64())})
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("mb", pa.array(_meta_bucket(v),
+                                                  type=pa.int64()))
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("vec_id", sort=True).head(k).copy()
+        out["rank"] = out.groupby("vec_id").cumcount().astype(np.int64) + 1
+        return out[["vec_id", "neighbor_id", "rank"]]
+
+    df = read_embeddings(sf_dir, coalesce=True) \
+        .map_batches(route, batch_format="pyarrow") \
+        .groupby("list").map_groups(search, batch_format="pandas") \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("mb").map_groups(reduce_topk, batch_format="pandas") \
+        .to_pandas()
+    if df.empty:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "neighbor_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int64)})
+    return df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def knn_graph_ivf_fullprobe(sf_dir: str, k: int = 5,
+                            n_lists: int = IVF_K) -> pd.DataFrame:
+    """nprobe == n_lists: every vector probes every list, so every
+    (vector, candidate) pair is scored exactly once (each candidate is a
+    member of exactly one list) — the result equals the exact
+    ``knn_graph`` BY CONSTRUCTION and carries its hard SQL oracle,
+    exercising the full IVF routing/replication/per-list/reduce
+    machinery with the approximation switched off."""
+    return knn_graph_ivf(sf_dir, k=k, n_lists=n_lists, nprobe=n_lists)
+
+
+def embedding_kmeans_1iter(sf_dir: str, k: int = KMEANS_K) -> pd.DataFrame:
+    """ONE Lloyd iteration from the fixed seed centroids (the k lowest
+    vec_ids' normalized vectors — the same init as ``embedding_kmeans``)
+    — a single assign + mean step IS SQL-expressible (argmin join + AVG
+    groupby), so this configuration gives the iterative k-means engine a
+    HARD oracle: same broadcast, same assignment kernel, same bounded
+    (cluster, dim) moment reduce as one loop turn of
+    ``embedding_kmeans`` (which stays rows-only as a fixpoint).
+
+    Output is long-form (cluster, dim_idx, centroid, n_vecs) with 6-dp
+    floor rounding (summation-order ulps absorbed, the
+    ``embedding_centroids`` precedent).  Every seed is a data vector
+    (distance 0 to itself), so no cluster is ever empty."""
+    from ray.data.aggregate import Sum
+    q_ids, q_mat = _batch_matrix(_query_vectors(sf_dir, k))
+    order = np.argsort(q_ids)
+    cent = _normalize(q_mat[order]).astype(np.float64)
+    dim = cent.shape[1]
+    cent_ref = ray.put(cent)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _batch_matrix(batch)
+        mn = _normalize(m)
+        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        uniq, inv = np.unique(a, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, mn)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.repeat(uniq.astype(np.int64), dim)),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dim))})
+
+    agg = read_embeddings(sf_dir, coalesce=True) \
+        .map_batches(assign_partial, batch_format="pyarrow") \
+        .groupby(["cluster", "dim_idx"]) \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    agg["centroid"] = np.floor(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64)
+        * 1e6 + 0.5) / 1e6
+    agg["n_vecs"] = agg["n"].astype(np.int64)
+    out = agg[["cluster", "dim_idx", "centroid", "n_vecs"]] \
+        .astype({"cluster": np.int64, "dim_idx": np.int64})
+    return out.sort_values(["cluster", "dim_idx"]).reset_index(drop=True)

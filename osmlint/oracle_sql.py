@@ -1854,3 +1854,39 @@ WITH m AS (
 )
 SELECT event_id, event_type, value, z FROM z
 WHERE abs(z) >= {z_thresh!r} ORDER BY event_id"""
+
+
+def kmeans_1iter_sql(k: int) -> str:
+    """One Lloyd iteration from fixed seeds (the k lowest vec_ids'
+    normalized vectors): nearest-seed assignment (max cosine == min
+    squared distance on unit vectors, ties to the lowest cluster index,
+    the kernel's argmin order) then the per-(cluster, dim) mean of the
+    NORMALIZED components, 6-dp floor rounding on both sides."""
+    return f"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         embedding AS se
+  FROM embeddings WHERE vec_id < {k}
+), assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, s.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, s.se) DESC,
+                      s.cluster) AS rn
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE rn = 1
+), comp AS (
+  SELECT e.vec_id, CAST(u.i - 1 AS BIGINT) AS dim_idx,
+         CAST(e.embedding[u.i] AS DOUBLE)
+           / greatest(sqrt(list_sum(list_transform(
+                 e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+               1e-30) AS xn
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+)
+SELECT a.cluster, c.dim_idx,
+       floor(sum(c.xn) / count(*) * 1e6 + 0.5) / 1e6 AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM assign a JOIN comp c USING (vec_id)
+GROUP BY a.cluster, c.dim_idx
+ORDER BY cluster, dim_idx"""

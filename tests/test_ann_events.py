@@ -365,3 +365,63 @@ def test_embedding_kmeans_invariants(ray_session):
                       for c in range(ann.KMEANS_K)])
     d = ((mn[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     assert (d.argmin(axis=1) == lab).mean() > 0.99   # fixpoint (ties aside)
+
+
+def test_knn_graph_ivf_fullprobe_equals_exact(ray_session):
+    """nprobe == n_lists scores every (vector, candidate) pair exactly
+    once (each candidate is a member of ONE list), so the IVF graph must
+    reproduce the exact graph bit-for-bit — the hard-oracle
+    configuration the driver also checks."""
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    ex = ann.knn_graph(sf, k=3)
+    fp = ann.knn_graph_ivf_fullprobe(sf, k=3)
+    pd.testing.assert_frame_equal(fp.reset_index(drop=True),
+                                  ex.reset_index(drop=True))
+
+
+def test_knn_graph_ivf_recall_and_determinism(ray_session):
+    """The approximate graph (nprobe < n_lists) is rows-only in the
+    driver; in-repo it must (a) cover every vector, (b) keep a recall
+    floor vs the exact graph (0.61 measured on the fixed synth seeds;
+    gate at 0.5), (c) be deterministic across runs."""
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    ex = ann.knn_graph(sf, k=3)
+    a1 = ann.knn_graph_ivf(sf, k=3)
+    a2 = ann.knn_graph_ivf(sf, k=3)
+    pd.testing.assert_frame_equal(a1, a2)
+    assert set(a1["vec_id"]) == set(ex["vec_id"])
+    assert (a1.groupby("vec_id")["rank"].max() <= 3).all()
+    got = set(map(tuple, a1[["vec_id", "neighbor_id"]].values))
+    exp = set(map(tuple, ex[["vec_id", "neighbor_id"]].values))
+    assert len(got & exp) / len(exp) >= 0.5
+
+
+def test_kmeans_1iter_matches_numpy(ray_session):
+    """One Lloyd step from the k lowest vec_ids' normalized vectors,
+    recomputed in numpy: same assignment (argmin squared distance, ties
+    to the lowest cluster), same per-(cluster, dim) mean of NORMALIZED
+    components at 6-dp floor rounding."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    out = ann.embedding_kmeans_1iter(sf, k=4)
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.maximum(np.sqrt((m * m).sum(1, keepdims=True)), 1e-30)
+    seeds = mn[t["vec_id"].to_numpy() < 4]
+    d = ((mn[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    lab = d.argmin(axis=1)
+    for c in sorted(set(lab)):
+        sel = mn[lab == c]
+        exp = np.floor(sel.mean(axis=0) * 1e6 + 0.5) / 1e6
+        g = out[out.cluster == c].sort_values("dim_idx")
+        assert (g["n_vecs"] == len(sel)).all()
+        np.testing.assert_allclose(g["centroid"].to_numpy(), exp,
+                                   rtol=0, atol=1.01e-6)
+    assert out["n_vecs"].iloc[::m.shape[1]].sum() == len(t) \
+        or out.groupby("cluster")["n_vecs"].first().sum() == len(t)
