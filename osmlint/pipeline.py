@@ -255,8 +255,23 @@ def auto_concurrency(n_pools: int = 2) -> int:
     return max(1, (cpus - 2) // n_pools)
 
 
-N_BUCKETS = 64     # coarse shuffle key: ~#CPUs×2 groups per map; raise with scale
+N_BUCKETS_FLOOR = 64   # floor for the coarse shuffle fan-out
 SHUFFLE_BLOCKS = 16  # floor for the pre-shuffle coalesce target
+
+
+def n_buckets() -> int:
+    """Coarse shuffle fan-out for the id-hash bucket reduces: ~2 groups
+    per CPU so every reducer has work while per-group overhead stays
+    negligible, with a floor of 64.  Cluster-derived like
+    ``shuffle_blocks()`` — a fixed constant caps reduce parallelism on a
+    real multi-node deployment (the r3 VERDICT watch item).  Bucket count
+    only shapes the shuffle, never the results: every consumer reduces
+    within buckets and combines across them."""
+    try:
+        return max(N_BUCKETS_FLOOR,
+                   2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        return N_BUCKETS_FLOOR
 
 
 def shuffle_blocks() -> int:
@@ -406,7 +421,7 @@ _COLLISION_CACHE: dict = caches.register({})
 
 def collision_keys(data_dir: str, slugs: list[str],
                    *, read_path: str | None = None,
-                   n_buckets: int = N_BUCKETS,
+                   n_buckets: int | None = None,
                    fingerprint: tuple | None = None) -> pd.DataFrame:
     """The SMALL side of the last-wins dedup: (map_slug, osm_id, max_seq)
     for entity ids occurring more than once within a map partition
@@ -423,6 +438,8 @@ def collision_keys(data_dir: str, slugs: list[str],
 
     The (tiny) result is cached per immutable input dir: chained queries
     (flags -> summary -> merge -> fix_plan) pay for the pre-pass once."""
+    if n_buckets is None:
+        n_buckets = globals()["n_buckets"]()
     slug2code = {s: i for i, s in enumerate(slugs)}
     path = read_path or os.path.join(data_dir, "docs")
     # callers that already walked the tree pass the fingerprint down —
@@ -463,7 +480,7 @@ _COLLISION_REF_CACHE: dict = caches.register({})
 
 def collision_keys_ref(data_dir: str, slugs: list[str],
                        *, read_path: str | None = None,
-                       n_buckets: int = N_BUCKETS):
+                       n_buckets: int | None = None):
     """Broadcast ObjectRef of the collision table, cached per (path, slugs,
     session).  The pre-pass runs SYNCHRONOUSLY on the driver before the
     main pass: an overlapped variant (zero-CPU task + per-batch ray.get)
@@ -504,7 +521,7 @@ def dedup_filter(batch: pa.Table, collisions_ref) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
-def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset:
+def dedup_last_wins(flags: rd.Dataset, n_buckets: int | None = None) -> rd.Dataset:
     """Per-map last-wins dedup by bare entity id (A5,
     src/sources/osm_source.py:43): keep the flag rows of the highest-seq doc
     per (map_name, osm_id).
@@ -512,6 +529,9 @@ def dedup_last_wins(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> rd.Dataset
     Shuffle shape: groupby a coarse (map, id-hash-bucket) key — a bounded
     number of groups each holding thousands of entities — then a VECTORIZED
     pandas transform inside the group.  Never one Python call per entity."""
+    if n_buckets is None:
+        n_buckets = globals()["n_buckets"]()
+
     def drop_dups(g: pd.DataFrame) -> pa.Table:
         mx = g.groupby("osm_id", sort=False)["seq"].transform("max")
         return to_arrow(g[g["seq"] == mx].drop(columns="_b"), schema.FLAGS)
@@ -599,7 +619,7 @@ _SUMMARY_BUCKET = pa.schema([
     ("e", pa.int64()), ("f", pa.int64())])
 
 
-def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+def summary_per_map(flags: rd.Dataset, n_buckets: int | None = None) -> pd.DataFrame:
     """A1 (src/main.py:52-76): per map, #entities with ≥1 result, #error
     results, #fixable error results.
 
@@ -609,6 +629,9 @@ def summary_per_map(flags: rd.Dataset, n_buckets: int = N_BUCKETS) -> pd.DataFra
     ``groupby(bucket)`` shuffle colocates each entity's partials and the
     per-bucket pandas reduce emits ONE row per (map, bucket).  The driver
     combines only #maps × #buckets tiny rows."""
+    if n_buckets is None:
+        n_buckets = globals()["n_buckets"]()
+
     def partial(df: pd.DataFrame) -> pa.Table:
         err = (df["result"] == "CHECKED_ERROR")
         out = (pd.DataFrame({
@@ -678,7 +701,7 @@ def merge_overall(flags: rd.Dataset) -> rd.Dataset:
     (entity, check).  'First' is the deterministic config order (the
     reference's dict-insertion order is completion-order nondeterministic —
     documented divergence)."""
-    n_buckets = N_BUCKETS
+    n_buckets = globals()["n_buckets"]()
 
     def add_overall(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
