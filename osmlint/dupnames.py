@@ -118,12 +118,24 @@ MAX_NAME_FREQ = 64    # stop-name cap: names more frequent than this are
                       # count is quadratic, so the cap also bounds output size
 
 
-def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
-                   radius_km: float = DEFAULT_RADIUS_KM,
-                   res: int = DEFAULT_RES,
-                   group_res: int = 8,
-                   n_buckets: int = N_BUCKETS,
-                   max_name_freq: int = MAX_NAME_FREQ) -> rd.Dataset:
+def named_ctv_deduped(data_dir: str, *,
+                      map_slug: str = "serbia_pbf") -> rd.Dataset:
+    """Deduped named-CTV point set of one map shard: decode -> filter to
+    named city/town/village entities -> per-doc last-wins dedup.  The
+    shared point universe of the spatial pair/cluster operators
+    (``dup_name_pairs``, ``geocluster.geo_clusters``).
+
+    Per-doc dedup runs as a distributed keyed shuffle over the small
+    named-CTV projection (6 narrow columns): a doc_id hash-bucket groupby
+    colocates every row of a doc, the per-group kernel keeps EXACTLY one
+    row — the max-seq row, seq ties broken deterministically by
+    (name, lat, lon) (the oracle's row_number keeps one arbitrary tied
+    row; ties cannot occur in well-formed input where seq is the source
+    position).  Dedup runs BEFORE any frequency count, matching the
+    oracle's deduped `named` CTE (ADVICE r1).  Nothing lands on the
+    driver.  Returns the MATERIALIZED projection — a sliver of the input
+    (5 narrow columns of the city/town/village subset), pinned so
+    downstream passes don't re-run the decode+dedup lineage."""
     import os
     # read ONLY the target map shard (hive pruning at the read)
     ds = rd.read_parquet(os.path.join(data_dir, "docs", f"map={map_slug}"),
@@ -141,27 +153,23 @@ def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
 
     ds = ds.map_batches(named_ctv, batch_format="pyarrow")
 
-    # per-doc last-wins dedup as a distributed keyed shuffle over the small
-    # named-CTV projection (6 narrow columns): a doc_id hash-bucket groupby
-    # colocates every row of a doc, the per-group kernel keeps EXACTLY one
-    # row — the max-seq row, seq ties broken deterministically by
-    # (name, lat, lon) (the oracle's row_number keeps one arbitrary tied
-    # row; ties cannot occur in well-formed input where seq is the source
-    # position).  Dedup runs BEFORE the stop-name frequency count, matching
-    # the oracle's deduped `named` CTE (ADVICE r1).  Nothing lands on the
-    # driver except the hot-name set.
     def dedup_group(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["doc_id", "seq", "name", "lat", "lon"],
                           kind="stable")
         g = g.drop_duplicates("doc_id", keep="last")
         return to_arrow(g, NAMED_SCHEMA)
 
-    # materializing here pins only the SMALL named-CTV projection (5 narrow
-    # columns of the city/town/village subset — a sliver of the input, not
-    # the doc stream) so the frequency pass and the pair pass don't re-run
-    # the decode+dedup lineage twice
-    deduped = ds.repartition(shuffle_blocks()).groupby("_b").map_groups(
+    return ds.repartition(shuffle_blocks()).groupby("_b").map_groups(
         dedup_group, batch_format="pandas").materialize()
+
+
+def dup_name_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
+                   radius_km: float = DEFAULT_RADIUS_KM,
+                   res: int = DEFAULT_RES,
+                   group_res: int = 8,
+                   n_buckets: int = N_BUCKETS,
+                   max_name_freq: int = MAX_NAME_FREQ) -> rd.Dataset:
+    deduped = named_ctv_deduped(data_dir, map_slug=map_slug)
 
     # hot ("stop") names over the DEDUPED stream: per-batch count partials,
     # name-hash-bucket groupby, per-group emit only names above the cap —

@@ -1,0 +1,337 @@
+# -*- coding: utf-8 -*-
+"""Density-based spatial clustering (DBSCAN) over the named-CTV points.
+
+The reference's spatial reasoning is per-entity point-radius gating (the
+20 km wiki gate, src/checks.py:541; ``wikibase:around`` circles in
+sparql/*.sparql).  This operator generalizes it to the classic corpus-
+level question — settlement agglomerations: group places that chain
+together within ``eps_km`` of each other (Ester et al., "A Density-Based
+Algorithm for Discovering Clusters", KDD'96).
+
+Semantics (deterministic variant of DBSCAN):
+
+* ``core`` point: >= ``min_pts`` points (itself included) within
+  ``eps_km``;
+* clusters: connected components of the core-core eps-graph, labeled by
+  the minimum CORE member node id (isolated cores form singleton
+  clusters; an attached border node may carry a smaller id — the label
+  stays the core minimum);
+* ``border`` point: a non-core with >= 1 core neighbor, assigned the
+  MINIMUM cluster label among its core neighbors (classic DBSCAN's
+  first-visitor assignment is scan-order-dependent; the min rule makes
+  the output a pure function of the input);
+* noise points are dropped from the output.
+
+Ray-Data-idiomatic shape — no all-pairs, no driver loops:
+
+1. shared deduped named-CTV projection (``dupnames.named_ctv_deduped``);
+2. eps-pair mining with the same 9-cell replication trick as
+   ``dupnames``: each point is emitted into its home cell (anchor) + 8
+   neighbors at a resolution whose cell size exceeds ``eps_km``, so every
+   qualifying pair shares the anchor's home cell; a per-``gcell`` group
+   does ONE vectorized anchors x copies merge + haversine gate.  Work per
+   group is bounded by eps-density (the candidate volume itself), not by
+   global skew; raise ``res``/``group_res`` together to shrink groups;
+3. per-node eps-DEGREE via a bounded node-hash bucket reduce over pair
+   endpoints (the ``_REDUCE_BUCKETS`` rule — no node-cardinality
+   ``aggregate()``);
+4. core flags on pairs: the core id set is broadcast (``ray.put`` once,
+   searchsorted membership per batch) under ``BROADCAST_MAX`` nodes, and
+   flips to two distributed left-outer joins above it — the same dual
+   path as ``textops.dedup_apply``;
+5. transitive closure via ``graph.cluster_labels`` (hybrid local
+   pointer-jump / distributed min-label propagation); isolated cores ride
+   along as self-loop edges;
+6. border assignment: one join of the (non-core, core) pair orientation
+   against the core labels + a bucketed min reduce;
+7. cluster sizes: a bounded bucket count + one join back.
+
+Oracle: the same pairs / degree / closure in DuckDB — the closure as a
+fixed-round alternating min-propagation + pointer-jump CTE chain
+(``oracle_sql.geo_clusters_sql``), the same algorithm as the engine's
+local closure, with rounds >= 1.6x the measured convergence point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from . import geo, graph
+from .dupnames import named_ctv_deduped
+from .pipeline import to_arrow
+
+EPS_KM = 0.5
+MIN_PTS = 4
+#: res 15: cell height 180/2^15 = 0.0055 deg ~ 0.61 km and width
+#: >= 0.83 km at 47N — both exceed EPS_KM, so ring-1 replication covers
+#: every eps-pair over the Serbia extent.
+RES = 15
+GROUP_RES = 10
+#: broadcast ceiling for the core id set (int64 ids: 128 MiB at 2^24),
+#: mirroring textops.dedup_apply's keep-list threshold.
+BROADCAST_MAX = 1 << 24
+
+_ETYPE_CODE = {"node": 0, "way": 1, "relation": 2}
+_ETYPE_NAME = np.array(["node", "way", "relation"], dtype=object)
+
+_POINT_SCHEMA = pa.schema([("node", pa.int64()), ("lat", pa.float64()),
+                           ("lon", pa.float64())])
+_REPL_SCHEMA = pa.schema([("gcell", pa.int64()), ("cell", pa.int64()),
+                          ("anchor", pa.bool_()), ("node", pa.int64()),
+                          ("lat", pa.float64()), ("lon", pa.float64())])
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+_OUT_SCHEMA = pa.schema([("osm_id", pa.int64()),
+                         ("entity_type", pa.string()),
+                         ("cluster_id", pa.int64()),
+                         ("is_core", pa.bool_()),
+                         ("cluster_size", pa.int64())])
+
+
+def _to_nodes(batch: pa.Table) -> pa.Table:
+    """doc_id '<map>/<etype>/<osm_id>' -> int64 node = osm_id*4 + code.
+
+    The encoding is SQL-expressible (oracle mirrors it), so the min-node
+    cluster label round-trips exactly."""
+    df = batch.to_pandas()
+    parts = df["doc_id"].str.split("/", expand=True)
+    code = parts[1].map(_ETYPE_CODE).to_numpy(np.int64)
+    node = parts[2].astype(np.int64).to_numpy() * 4 + code
+    return pa.table({"node": pa.array(node, type=pa.int64()),
+                     "lat": pa.array(df["lat"].to_numpy(np.float64)),
+                     "lon": pa.array(df["lon"].to_numpy(np.float64))})
+
+
+def _replicate(batch: pa.Table, *, res: int, group_res: int) -> pa.Table:
+    """Emit each point into home cell (anchor) + ring-1 neighbors;
+    ``gcell`` (coarse ancestor) is the shuffle key."""
+    node = batch["node"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    home = geo.cell_id(lat, lon, res)
+    neigh = geo.cell_neighbors(home, res)                  # (n, 8), -1 pad
+    cells = np.concatenate([home[:, None], neigh], axis=1)  # (n, 9)
+    rows = np.repeat(np.arange(len(node)), 9)
+    flat = cells.reshape(-1)
+    keep = flat >= 0
+    rows, flat = rows[keep], flat[keep]
+    nfine = np.int64(1) << res
+    shift = res - group_res
+    ix, iy = flat % nfine, flat // nfine
+    gcell = (iy >> shift) * (np.int64(1) << group_res) + (ix >> shift)
+    # meta-bucket the shuffle key: groupby.map_groups pays per-GROUP
+    # overhead, so thousands of sparse gcells are hashed into a bounded
+    # bucket count (pure function of gcell — all rows of a fine cell stay
+    # colocated; the kernel joins on the fine cell, so co-bucketed gcells
+    # are harmless)
+    gcell = _bucket_of(gcell)
+    return pa.table({
+        "gcell": pa.array(gcell), "cell": pa.array(flat),
+        "anchor": pa.array(flat == home[rows]),
+        "node": pa.array(node[rows]),
+        "lat": pa.array(lat[rows]), "lon": pa.array(lon[rows])})
+
+
+def _pairs_in_group(g: pd.DataFrame, *, eps_km: float) -> pa.Table:
+    """Anchor-driven same-fine-cell candidate merge + haversine gate.
+    A pair (a < b) is emitted exactly once — in a's home cell, where b
+    is present by replication (cell size >= eps guarantees coverage)."""
+    anchors = g[g["anchor"]]
+    if not len(anchors):
+        return _PAIR_SCHEMA.empty_table()
+    m = anchors.merge(g, on="cell", suffixes=("_a", "_b"))
+    m = m[m["node_a"] < m["node_b"]]
+    if not len(m):
+        return _PAIR_SCHEMA.empty_table()
+    d = geo.haversine_km(m["lat_a"].to_numpy(), m["lon_a"].to_numpy(),
+                         m["lat_b"].to_numpy(), m["lon_b"].to_numpy())
+    m = m[d <= eps_km]
+    return pa.table({"doc_a": pa.array(m["node_a"].to_numpy(np.int64)),
+                     "doc_b": pa.array(m["node_b"].to_numpy(np.int64))})
+
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(v: np.ndarray) -> np.ndarray:
+    from .textops import _REDUCE_BUCKETS
+    return (((v.astype(np.uint64) * _GOLD) >> np.uint64(40))
+            .astype(np.int64) % _REDUCE_BUCKETS)
+
+
+def _count_reduce(ds: rd.Dataset, key: str, out: str) -> rd.Dataset:
+    """groupby(key).count() through bounded key-hash buckets."""
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        return pa.table({key: b[key].cast(pa.int64()),
+                         "_mb": pa.array(_bucket_of(k))})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby(key, sort=False).size().reset_index(name=out)
+        return pa.table({key: pa.array(d[key].to_numpy(np.int64)),
+                         out: pa.array(d[out].to_numpy(np.int64))})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(combine, batch_format="pandas")
+
+
+def _endpoints(b: pa.Table) -> pa.Table:
+    a = b["doc_a"].cast(pa.int64()).combine_chunks()
+    d = b["doc_b"].cast(pa.int64()).combine_chunks()
+    return pa.table({"node": pa.concat_arrays([a, d])})
+
+
+def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
+                 eps_km: float = EPS_KM, min_pts: int = MIN_PTS,
+                 res: int = RES, group_res: int = GROUP_RES) -> rd.Dataset:
+    """DBSCAN over the deduped named-CTV points of one map shard ->
+    ``(osm_id, entity_type, cluster_id, is_core, cluster_size)`` for
+    clustered points (noise dropped); ``cluster_id`` is the minimum
+    CORE member's node encoding."""
+    points = named_ctv_deduped(data_dir, map_slug=map_slug) \
+        .map_batches(_to_nodes, batch_format="pyarrow")
+    pairs = points.map_batches(
+        _replicate, batch_format="pyarrow",
+        fn_kwargs={"res": res, "group_res": group_res}) \
+        .groupby("gcell").map_groups(
+            _pairs_in_group, batch_format="pandas",
+            fn_kwargs={"eps_km": eps_km}) \
+        .materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+
+    deg = _count_reduce(pairs.map_batches(_endpoints,
+                                          batch_format="pyarrow"),
+                        "node", "c")
+    core = deg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_pts - 1))
+        .select(["node"]), batch_format="pyarrow").materialize()
+    n_core = core.count()
+    if n_core == 0:
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+
+    # --- core flags on pairs: broadcast membership or distributed joins
+    if n_core <= BROADCAST_MAX:
+        core_ref = ray.put(np.sort(core.to_pandas()["node"]
+                                   .to_numpy(np.int64)))
+
+        def flag(b: pa.Table) -> pa.Table:
+            cs = ray.get(core_ref)
+            a = b["doc_a"].to_numpy(zero_copy_only=False)
+            d = b["doc_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(cs, a)
+            ib = np.searchsorted(cs, d)
+            ac = (ia < len(cs)) & (cs[np.minimum(ia, len(cs) - 1)] == a)
+            bc = (ib < len(cs)) & (cs[np.minimum(ib, len(cs) - 1)] == d)
+            return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                             "a_core": pa.array(ac), "b_core": pa.array(bc)})
+
+        flagged = pairs.map_batches(flag, batch_format="pyarrow") \
+            .materialize()
+    else:
+        # distributed: two left-outer joins against the (node, _c) core
+        # table; null _c <=> non-core.  Only 8-byte keys + 1-byte marker
+        # ride the shuffle.
+        marked = core.map_batches(
+            lambda b: pa.table({"node": b["node"].cast(pa.int64()),
+                                "_c": pa.array(np.ones(b.num_rows,
+                                                       dtype=np.int8))}),
+            batch_format="pyarrow")
+        np_ = max(1, n_core // (1 << 18))
+        j1 = pairs.join(marked, "left_outer", np_,
+                        on=("doc_a",), right_on=("node",)) \
+            .map_batches(lambda b: pa.table(
+                {"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                 "a_core": pc.is_valid(b["_c"])}), batch_format="pyarrow")
+        flagged = j1.join(marked, "left_outer", np_,
+                          on=("doc_b",), right_on=("node",)) \
+            .map_batches(lambda b: pa.table(
+                {"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                 "a_core": b["a_core"],
+                 "b_core": pc.is_valid(b["_c"])}), batch_format="pyarrow") \
+            .materialize()
+
+    # --- transitive closure over core-core edges + core self-loops
+    # (self-loops carry isolated cores into the label table)
+    cc_edges = flagged.map_batches(
+        lambda b: b.filter(pc.and_(b["a_core"], b["b_core"]))
+        .select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    selfloops = core.map_batches(
+        lambda b: pa.table({"doc_a": b["node"].cast(pa.int64()),
+                            "doc_b": b["node"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    labels = graph.cluster_labels(cc_edges.union(selfloops),
+                                  as_dataset=True)
+    if isinstance(labels, pd.DataFrame):
+        labels = rd.from_pandas(labels)
+    labels = labels.map_batches(
+        lambda b: pa.table({"node": b["doc_id"].cast(pa.int64()),
+                            "cluster_id": b["cluster_id"]
+                            .cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # --- border points: (non-core, core) orientations -> min core label
+    def mixed_rows(b: pa.Table) -> pa.Table:
+        m1 = b.filter(pc.and_(b["a_core"], pc.invert(b["b_core"])))
+        m2 = b.filter(pc.and_(b["b_core"], pc.invert(b["a_core"])))
+        x = pa.concat_arrays([m1["doc_b"].combine_chunks(),
+                              m2["doc_a"].combine_chunks()])
+        c = pa.concat_arrays([m1["doc_a"].combine_chunks(),
+                              m2["doc_b"].combine_chunks()])
+        return pa.table({"x": x, "c": c})
+
+    mixed = flagged.map_batches(mixed_rows,
+                                batch_format="pyarrow").materialize()
+    members = labels.map_batches(
+        lambda b: b.append_column("is_core",
+                                  pa.array(np.ones(b.num_rows,
+                                                   dtype=bool))),
+        batch_format="pyarrow")
+    if mixed.count() > 0:
+        np2 = max(1, min(8, mixed.count() // 256))
+        j = mixed.join(labels, "inner", np2, on=("c",),
+                       right_on=("node",))
+
+        def min_label(g: pd.DataFrame) -> pa.Table:
+            d = g.groupby("x", sort=False)["cluster_id"].min() \
+                .reset_index()
+            return pa.table({
+                "node": pa.array(d["x"].to_numpy(np.int64)),
+                "cluster_id": pa.array(d["cluster_id"]
+                                       .to_numpy(np.int64)),
+                "is_core": pa.array(np.zeros(len(d), dtype=bool))})
+
+        def bucketize_x(b: pa.Table) -> pa.Table:
+            x = b["x"].to_numpy(zero_copy_only=False)
+            return pa.table({"x": b["x"].cast(pa.int64()),
+                             "cluster_id": b["cluster_id"]
+                             .cast(pa.int64()),
+                             "_mb": pa.array(_bucket_of(x))})
+
+        border = j.map_batches(bucketize_x, batch_format="pyarrow") \
+            .groupby("_mb").map_groups(min_label, batch_format="pandas")
+        members = members.union(border)
+    members = members.materialize()
+
+    # --- cluster sizes (core + border) + final decode
+    sizes = _count_reduce(members.map_batches(
+        lambda b: pa.table({"cl": b["cluster_id"].cast(pa.int64())}),
+        batch_format="pyarrow"), "cl", "n")
+    np3 = max(1, min(8, members.count() // 256))
+    out = members.join(sizes, "inner", np3, on=("cluster_id",),
+                       right_on=("cl",))
+
+    def decode(b: pa.Table) -> pa.Table:
+        nd = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "osm_id": pa.array(nd // 4),
+            "entity_type": pa.array(_ETYPE_NAME[nd % 4]),
+            "cluster_id": b["cluster_id"].cast(pa.int64()),
+            "is_core": b["is_core"].cast(pa.bool_()),
+            "cluster_size": b["n"].cast(pa.int64())})
+
+    return out.map_batches(decode, batch_format="pyarrow")

@@ -1890,3 +1890,80 @@ SELECT a.cluster, c.dim_idx,
 FROM assign a JOIN comp c USING (vec_id)
 GROUP BY a.cluster, c.dim_idx
 ORDER BY cluster, dim_idx"""
+
+
+# ---------------------------------------------------------------------------
+# geo_clusters oracle (DBSCAN over named-CTV points)
+# ---------------------------------------------------------------------------
+
+def geo_clusters_sql(d: str, eps_km: float, min_pts: int,
+                     rounds: int = 48) -> str:
+    """DBSCAN: eps-pairs via a lat-band IEJoin prefilter (|dlat deg| <=
+    eps/111.0 is a strict superset of hav <= eps, since 1 deg lat >=
+    111.195 km) + exact haversine gate; degree -> core set; connected
+    components of the core-core graph as a FIXED-ROUND alternating
+    min-propagation + pointer-jump CTE chain (AS MATERIALIZED breaks the
+    exponential CTE-inlining blowup; ``rounds`` = 48 vs a measured 29 to
+    converge at sf0.01 — extra rounds past convergence are no-ops, and
+    the in-repo parity tests pin agreement at both gate scales); border
+    points take the MINIMUM core-neighbor label (the deterministic
+    variant the engine implements)."""
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = eps_km / 111.0
+    parts = [f"""
+flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+named AS (
+  SELECT osm_id*4 + CASE entity_type WHEN 'node' THEN 0
+                                     WHEN 'way' THEN 1 ELSE 2 END AS node,
+         lat, lon
+  FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY seq DESC) AS rn
+        FROM flat f
+        WHERE map_slug = 'serbia_pbf'
+          AND place IN ('city','town','village') AND name IS NOT NULL)
+  WHERE rn = 1),
+pairs AS MATERIALIZED (
+  SELECT a.node AS na, b.node AS nb FROM named a JOIN named b
+  ON b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+  WHERE a.node < b.node AND {hav} <= {eps_km!r}),
+deg AS (SELECT node, count(*) AS c FROM
+        (SELECT na AS node FROM pairs UNION ALL SELECT nb FROM pairs)
+        GROUP BY 1),
+core AS MATERIALIZED (SELECT node FROM deg WHERE c >= {min_pts - 1}),
+cpairs AS (SELECT na, nb FROM pairs
+           WHERE na IN (SELECT node FROM core)
+             AND nb IN (SELECT node FROM core)),
+ebi AS (SELECT na AS src, nb AS dst FROM cpairs
+        UNION ALL SELECT nb, na FROM cpairs),
+lab0 AS (SELECT node, node AS l FROM core)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+p{t} AS MATERIALIZED (SELECT x.node AS node, min(x.l) AS l FROM (
+    SELECT e.dst AS node, j.l FROM ebi e JOIN lab{t - 1} j
+      ON j.node = e.src
+    UNION ALL SELECT node, l FROM lab{t - 1}) x GROUP BY x.node),
+lab{t} AS MATERIALIZED (SELECT a.node AS node, b.l AS l
+    FROM p{t} a JOIN p{t} b ON b.node = a.l)""")
+    parts.append(f"""
+mixed AS (
+  SELECT nb AS x, na AS c FROM pairs
+  WHERE na IN (SELECT node FROM core)
+    AND nb NOT IN (SELECT node FROM core)
+  UNION ALL
+  SELECT na AS x, nb AS c FROM pairs
+  WHERE nb IN (SELECT node FROM core)
+    AND na NOT IN (SELECT node FROM core)),
+border AS (SELECT m.x AS node, min(j.l) AS cl FROM mixed m
+           JOIN lab{rounds} j ON j.node = m.c GROUP BY m.x),
+members AS (SELECT node, l AS cluster_id, TRUE AS is_core
+            FROM lab{rounds}
+            UNION ALL
+            SELECT node, cl AS cluster_id, FALSE AS is_core FROM border)""")
+    return "WITH " + ",".join(parts) + """
+SELECT CAST(node // 4 AS BIGINT) AS osm_id,
+       CASE node % 4 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
+            ELSE 'relation' END AS entity_type,
+       cluster_id, is_core,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+FROM members ORDER BY osm_id, entity_type"""

@@ -408,6 +408,14 @@ def embedding_kmeans(sf_dir: str):
     return ann.embedding_kmeans(sf_dir)
 
 
+def geo_clusters(sf_dir: str) -> rd.Dataset:
+    """DBSCAN settlement agglomerations over the deduped named-CTV
+    points (eps-pair mining via 9-cell replication, bucketed degree,
+    distributed closure; osmlint.geocluster module docstring)."""
+    from . import geocluster
+    return geocluster.geo_clusters(_synth(sf_dir))
+
+
 def ann_topk_ivf(sf_dir: str):
     from . import ann
     return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
@@ -555,6 +563,11 @@ def _eventops():
     return eventops
 
 
+def _geocluster():
+    from . import geocluster
+    return geocluster
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -591,6 +604,7 @@ def ray_queries() -> dict:
         "knn_graph_ivf": knn_graph_ivf,
         "knn_graph_ivf_fullprobe": knn_graph_ivf_fullprobe,
         "embedding_kmeans_1iter": embedding_kmeans_1iter,
+        "geo_clusters": geo_clusters,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -772,6 +786,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # assign/reduce kernels; the iterative fixpoint stays rows-only.
         "embedding_kmeans_1iter": oracle_sql.kmeans_1iter_sql(
             _ann().KMEANS_K),
+        "geo_clusters": oracle_sql.geo_clusters_sql(
+            d, _geocluster().EPS_KM, _geocluster().MIN_PTS),
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         # full-probe IVF == exact top-k by construction: every list is
         # scanned, so the approximation is off and the index machinery

@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""geo_clusters (DBSCAN) — oracle parity at gate scale + DBSCAN
+invariants against a brute-force all-pairs reference."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmlint import geo, geocluster, oracle_sql, synth
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result(ray_session):
+    d = synth.generate(SF)
+    got = geocluster.geo_clusters(d).to_pandas()
+    return d, got.sort_values(["osm_id", "entity_type"]) \
+        .reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def brute(result):
+    """All-pairs brute-force DBSCAN on the same deduped point set."""
+    d, _ = result
+    con = duckdb.connect()
+    pts = con.execute(f"""
+      SELECT osm_id*4 + CASE entity_type WHEN 'node' THEN 0
+                        WHEN 'way' THEN 1 ELSE 2 END AS node, lat, lon
+      FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY seq DESC) AS rn
+            FROM read_parquet('{d}/flat.parquet') f
+            WHERE map_slug='serbia_pbf'
+              AND place IN ('city','town','village')
+              AND name IS NOT NULL) WHERE rn=1""").df()
+    node = pts["node"].to_numpy(np.int64)
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    dist = geo.haversine_km(lat[:, None], lon[:, None],
+                            lat[None, :], lon[None, :])
+    adj = (dist <= geocluster.EPS_KM) & ~np.eye(len(node), dtype=bool)
+    return node, adj
+
+
+def test_core_degree_invariant(result, brute):
+    """is_core <=> eps-neighborhood (incl. self) >= MIN_PTS."""
+    _, got = result
+    node, adj = brute
+    deg = adj.sum(axis=1)
+    core_nodes = set(node[deg >= geocluster.MIN_PTS - 1].tolist())
+    got_nodes = got["osm_id"].to_numpy(np.int64) * 4 + \
+        got["entity_type"].map(geocluster._ETYPE_CODE).to_numpy(np.int64)
+    for n, is_core in zip(got_nodes.tolist(), got["is_core"].tolist()):
+        assert is_core == (n in core_nodes)
+    # every core point is in the output
+    assert core_nodes <= set(got_nodes.tolist())
+
+
+def test_noise_and_border_rules(result, brute):
+    """Output = cores + non-cores with >= 1 core neighbor; noise absent;
+    border label = min core-neighbor cluster; cluster_id = min member."""
+    _, got = result
+    node, adj = brute
+    deg = adj.sum(axis=1)
+    is_core = deg >= geocluster.MIN_PTS - 1
+    has_core_nb = (adj & is_core[None, :]).any(axis=1)
+    expect = set(node[is_core | has_core_nb].tolist())
+    got_nodes = got["osm_id"].to_numpy(np.int64) * 4 + \
+        got["entity_type"].map(geocluster._ETYPE_CODE).to_numpy(np.int64)
+    assert set(got_nodes.tolist()) == expect
+    # cluster_id is the minimum CORE member node of its cluster (labels
+    # come from the closure over cores; borders attach afterwards)
+    gm = pd.DataFrame({"node": got_nodes,
+                       "cluster_id": got["cluster_id"].to_numpy(np.int64),
+                       "is_core": got["is_core"].to_numpy(bool)})
+    mins = gm[gm["is_core"]].groupby("cluster_id")["node"].min()
+    assert (mins == mins.index).all()
+    # cluster_size is the member count
+    sz = got.groupby("cluster_id")["cluster_id"].transform("size")
+    assert (sz.to_numpy() == got["cluster_size"].to_numpy()).all()
+
+
+def test_oracle_parity(result):
+    d, got = result
+    exp = duckdb.connect().execute(oracle_sql.geo_clusters_sql(
+        d, geocluster.EPS_KM, geocluster.MIN_PTS)).df() \
+        .sort_values(["osm_id", "entity_type"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)],
+        check_dtype=False)
+
+
+def test_distributed_paths_agree(result):
+    """Force the distributed closure (small_threshold=0 inside
+    cluster_labels is exercised elsewhere); here force the JOIN-based
+    core-flag path by dropping the broadcast ceiling."""
+    d, got = result
+    old = geocluster.BROADCAST_MAX
+    geocluster.BROADCAST_MAX = 0
+    try:
+        got2 = geocluster.geo_clusters(d).to_pandas() \
+            .sort_values(["osm_id", "entity_type"]).reset_index(drop=True)
+    finally:
+        geocluster.BROADCAST_MAX = old
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
