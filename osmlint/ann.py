@@ -828,3 +828,26 @@ def embedding_kmeans_1iter(sf_dir: str, k: int = KMEANS_K) -> pd.DataFrame:
     out = agg[["cluster", "dim_idx", "centroid", "n_vecs"]] \
         .astype({"cluster": np.int64, "dim_idx": np.int64})
     return out.sort_values(["cluster", "dim_idx"]).reset_index(drop=True)
+
+
+def dedup_cosine_clusters(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
+    """Embedding near-duplicate CLUSTERS: cosine pairs from the LSH scale
+    miner -> transitive closure (``graph.cluster_labels``) ->
+    ``(vec_id, cluster_id, cluster_size)``, cluster_id = minimum member
+    vec_id — the embedding-signal sibling of ``textops.dedup_clusters``.
+
+    Pair mining is ``cosine_pairs_lsh`` (payload-free band shuffle +
+    exact-cosine verify), so the pair set equals the exact SQL at gate
+    scale (seed-pinned, same caveat as ``embedding_cosine_pairs_lsh``);
+    the oracle is a recursive CTE over the exact cosine pair SQL."""
+    from . import graph
+    pairs = cosine_pairs_lsh(sf_dir, tau)
+    if pairs.empty:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "cluster_id": pd.Series(dtype=np.int64),
+                             "cluster_size": pd.Series(dtype=np.int64)})
+    edges = rd.from_pandas(pairs.rename(columns={"vec_a": "doc_a",
+                                                 "vec_b": "doc_b"}))
+    out = graph.cluster_labels(edges)
+    return out.rename(columns={"doc_id": "vec_id"}) \
+        .sort_values("vec_id").reset_index(drop=True)

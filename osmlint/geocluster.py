@@ -28,8 +28,11 @@ Ray-Data-idiomatic shape — no all-pairs, no driver loops:
 2. eps-pair mining with the same 9-cell replication trick as
    ``dupnames``: each point is emitted into its home cell (anchor) + 8
    neighbors at a resolution whose cell size exceeds ``eps_km``, so every
-   qualifying pair shares the anchor's home cell; a per-``gcell`` group
-   does ONE vectorized anchors x copies merge + haversine gate.  Work per
+   qualifying pair shares the anchor's home cell; the shuffle key is the
+   coarse ancestor cell hashed into a bounded bucket count (the
+   ``_REDUCE_BUCKETS`` rule — sparse gcells would otherwise pay
+   per-group overhead), and each group does ONE vectorized
+   anchors x copies merge on the fine cell + haversine gate.  Work per
    group is bounded by eps-density (the candidate volume itself), not by
    global skew; raise ``res``/``group_res`` together to shrink groups;
 3. per-node eps-DEGREE via a bounded node-hash bucket reduce over pair
@@ -79,11 +82,6 @@ BROADCAST_MAX = 1 << 24
 _ETYPE_CODE = {"node": 0, "way": 1, "relation": 2}
 _ETYPE_NAME = np.array(["node", "way", "relation"], dtype=object)
 
-_POINT_SCHEMA = pa.schema([("node", pa.int64()), ("lat", pa.float64()),
-                           ("lon", pa.float64())])
-_REPL_SCHEMA = pa.schema([("gcell", pa.int64()), ("cell", pa.int64()),
-                          ("anchor", pa.bool_()), ("node", pa.int64()),
-                          ("lat", pa.float64()), ("lon", pa.float64())])
 _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 _OUT_SCHEMA = pa.schema([("osm_id", pa.int64()),
                          ("entity_type", pa.string()),

@@ -1967,3 +1967,24 @@ SELECT CAST(node // 4 AS BIGINT) AS osm_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
            AS cluster_size
 FROM members ORDER BY osm_id, entity_type"""
+
+
+def dedup_cosine_clusters_sql(tau: float) -> str:
+    """Connected components over the exact cosine pair set (recursive
+    min-label closure — near-dup clusters are small, so the walk-based
+    CTE stays cheap here, unlike geo_clusters' giant components)."""
+    return f"""
+WITH RECURSIVE pairs AS ({cosine_pairs_sql(tau)}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b AS n FROM edges),
+cc(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT CASE WHEN e.a = cc.n THEN e.b ELSE e.a END AS n, cc.l AS l
+  FROM cc JOIN edges e ON e.a = cc.n OR e.b = cc.n
+),
+lab AS (SELECT n AS vec_id, MIN(l) AS cluster_id FROM cc GROUP BY n)
+SELECT vec_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+FROM lab ORDER BY vec_id"""

@@ -293,6 +293,38 @@ def decontaminate(sf_dir: str):
     return textops.decontaminate(sf_dir)
 
 
+def decontaminate_bloom(sf_dir: str):
+    """Bloom-prefilter scale path; exact-verify join makes the result
+    IDENTICAL to ``decontaminate`` (same hard oracle)."""
+    from . import textops
+    return textops.decontaminate(sf_dir, bloom_prefilter=True)
+
+
+def distinct_token_counts_hll(sf_dir: str):
+    """HyperLogLog sketch path beside the exact distinct counts —
+    rows-only by design (approximate estimator); pytest pins <3%
+    relative error vs the exact operator."""
+    from . import textops
+    return textops.distinct_token_counts_hll(sf_dir)
+
+
+def vocab_topk_mg(sf_dir: str):
+    """Misra-Gries heavy-hitter top-k with an exactness certificate
+    (kth recounted count > tracked offset D) and a counted exact
+    fallback — equals the exact top-k whenever it answers, so it
+    carries the same hard oracle as ``vocab_topk``."""
+    from . import textops
+    return textops.vocab_topk_mg(sf_dir)
+
+
+def dedup_cosine_clusters(sf_dir: str):
+    """Embedding near-dup clusters (LSH pair miner -> closure); oracle
+    is a recursive CTE over the exact cosine pair SQL (seed-pinned pair
+    equality, same caveat as embedding_cosine_pairs_lsh)."""
+    from . import ann
+    return ann.dedup_cosine_clusters(sf_dir, tau=COS_TAU)
+
+
 def repetition_stats(sf_dir: str):
     from . import textops
     return textops.repetition_stats(sf_dir)
@@ -605,6 +637,10 @@ def ray_queries() -> dict:
         "knn_graph_ivf_fullprobe": knn_graph_ivf_fullprobe,
         "embedding_kmeans_1iter": embedding_kmeans_1iter,
         "geo_clusters": geo_clusters,
+        "decontaminate_bloom": decontaminate_bloom,
+        "distinct_token_counts_hll": distinct_token_counts_hll,
+        "vocab_topk_mg": vocab_topk_mg,
+        "dedup_cosine_clusters": dedup_cosine_clusters,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -747,9 +783,16 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # recursive CTE vs distributed min-label propagation
         "dedup_clusters": oracle_sql.dedup_clusters_sql(0.5),
         "vocab_topk": oracle_sql.vocab_topk_sql(_textops().VOCAB_K),
+        # certificate-gated exact top-k (falls back to the exact path on
+        # certificate failure) — same hard oracle
+        "vocab_topk_mg": oracle_sql.vocab_topk_sql(_textops().VOCAB_K),
         "corpus_split": oracle_sql.corpus_split_sql(
             _textops()._SPLIT_TRAIN_HEX, _textops()._SPLIT_VAL_HEX),
         "decontaminate": oracle_sql.decontaminate_sql(
+            _textops().EVAL_SOURCES),
+        # Bloom prefilter + exact verify == the exact semi-join, so the
+        # scale path carries the same hard oracle (no recall caveat)
+        "decontaminate_bloom": oracle_sql.decontaminate_sql(
             _textops().EVAL_SOURCES),
         "repetition_stats": oracle_sql.repetition_stats_sql(),
         "token_quantiles": oracle_sql.token_quantiles_sql(
@@ -797,6 +840,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # LSH multiprobe recall verified == exact at gate scale (pytest
         # guards the subset property; equality checked empirically)
         "embedding_cosine_pairs_lsh": oracle_sql.cosine_pairs_sql(COS_TAU),
+        "dedup_cosine_clusters":
+            oracle_sql.dedup_cosine_clusters_sql(COS_TAU),
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,

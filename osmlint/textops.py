@@ -977,6 +977,132 @@ def dedup_clusters(sf_dir: str, tau: float = 0.5,
 
 VOCAB_K = 50
 
+#: Misra-Gries summary size: absent-token undercount is bounded by the
+#: tracked offset D, and the top-k certificate needs kth_count > D —
+#: 4096 counters keep D tiny relative to Zipf-head counts.
+MG_COUNTERS = 4096
+
+
+def _mg_compress(counts: pd.Series, k: int) -> tuple[pd.Series, int]:
+    """Shrink a token->count summary to <= k entries; returns the
+    summary and the decrement d applied (0 if already small).  Any token
+    dropped here had count <= d, so absent-token undercount adds d."""
+    if len(counts) <= k:
+        return counts, 0
+    d = int(np.partition(counts.to_numpy(), len(counts) - k - 1)
+            [len(counts) - k - 1])
+    out = counts - d
+    return out[out > 0], d
+
+
+_MG_SCHEMA = pa.schema([("token", pa.string()), ("cnt", pa.int64()),
+                        ("d", pa.int64())])
+
+
+def _mg_rows(counts: pd.Series, d: int) -> pa.Table:
+    tok = counts.index.to_numpy(dtype=object)
+    return pa.table({
+        "token": pa.array(np.append(tok, [""]).astype(object),
+                          type=pa.string()),
+        "cnt": pa.array(np.append(counts.to_numpy(np.int64), [0])),
+        "d": pa.array(np.append(np.zeros(len(tok), np.int64), [d]))})
+
+
+def vocab_topk_mg(sf_dir: str, k: int = VOCAB_K,
+                  counters: int = MG_COUNTERS) -> pd.DataFrame:
+    """Top-k vocabulary via Misra-Gries heavy-hitter summaries with an
+    EXACTNESS CERTIFICATE — the sketch scale path beside ``vocab_topk``.
+
+    Shape (the 100 TB story): the exact path shuffles one row per
+    distinct token per block; this path ships only ``counters``-bounded
+    summaries.  Pass 1 folds each block into a <=4096-entry summary
+    (token, cnt) plus an offset row carrying the compress decrement D
+    (any token absent from a summary has true count <= its D).  A merge
+    stage groupby-sums co-batched summaries and re-compresses (mergeable
+    summaries, Agarwal et al., PODS'12 — but correctness here never
+    leans on the paper bound: D is tracked EXPLICITLY through every
+    merge).  Pass 2 re-counts the surviving candidate tokens EXACTLY
+    (broadcast candidate set, per-block partial counts, bucketed
+    reduce).  Certificate: if the k-th recounted count > final D, every
+    absent token is strictly smaller, so the top-k (ties broken token
+    asc) is provably exact and the result equals the exact oracle.  If
+    the certificate fails, fall back to the exact path and record it in
+    ``LAST_METRICS['vocab_topk_mg']`` — never a silently approximate
+    answer."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        toks = (batch["text"].to_pandas().fillna("")
+                .str.lower().str.split().explode().dropna())
+        vc = toks.value_counts()
+        s, d = _mg_compress(vc, counters)
+        return _mg_rows(s, d)
+
+    def merge_summaries(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d_in = int(df.loc[df["token"] == "", "d"].sum())
+        counts = df[df["token"] != ""].groupby("token", sort=False)[
+            "cnt"].sum()
+        s, d = _mg_compress(counts, counters)
+        return _mg_rows(s, d_in + d)
+
+    parts = ds.map_batches(block_summary, batch_format="pyarrow") \
+        .map_batches(merge_summaries, batch_format="pyarrow").to_pandas()
+    d_final = int(parts.loc[parts["token"] == "", "d"].sum())
+    final = parts[parts["token"] != ""].groupby("token", sort=False)[
+        "cnt"].sum()
+    final, d2 = _mg_compress(final, counters)
+    d_final += d2
+    cand = set(final.index)
+    if not cand:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+
+    # pass 2: exact recount of the bounded candidate set
+    def recount(batch: pa.Table) -> pa.Table:
+        toks = (batch["text"].to_pandas().fillna("")
+                .str.lower().str.split().explode().dropna())
+        vc = toks[toks.isin(cand)].value_counts()
+        return pa.table({"token": pa.array(vc.index.astype(str),
+                                           type=pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64))})
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bk = (pd.util.hash_array(batch["token"].to_pandas()
+                                 .to_numpy(dtype=object))
+              % _REDUCE_BUCKETS).astype(np.int64)
+        return batch.append_column("bucket",
+                                   pa.array(bk, type=pa.int64()))
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        t = g.groupby("token", sort=False)["n"].sum().reset_index()
+        return pa.table({"token": pa.array(t["token"].astype(str),
+                                           type=pa.string()),
+                         "n": pa.array(t["n"].to_numpy(np.int64))})
+
+    exact = ds.map_batches(recount, batch_format="pyarrow") \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_sum, batch_format="pandas") \
+        .to_pandas()
+    exact = exact.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    kth = int(exact["n"].iloc[-1]) if len(exact) >= k else 0
+    # fewer than k candidates only certifies when nothing was ever
+    # dropped (d == 0): an absent token (count <= D) could still belong
+    # in an under-filled top-k
+    certified = (kth > d_final) if len(exact) >= k else (d_final == 0)
+    LAST_METRICS["vocab_topk_mg"] = {
+        "d_final": d_final, "kth_count": kth, "certified": bool(certified),
+        "candidates": len(cand)}
+    if not certified:
+        # no silent approximation: the certificate failed (a flat token
+        # distribution for this counter budget) — run the exact path
+        return vocab_topk(sf_dir, k)
+    exact["n"] = exact["n"].astype(np.int64)
+    return exact[["token", "n"]]
+
 
 def vocab_topk(sf_dir: str, k: int = VOCAB_K) -> pd.DataFrame:
     """Top-k corpus vocabulary: lowercase whitespace tokens -> per-batch
@@ -1221,9 +1347,73 @@ def corpus_split(sf_dir: str) -> pd.DataFrame:
 EVAL_SOURCES = ("src16", "src17", "src18", "src19")
 
 
+#: Bloom sizing: ~10 bits/key -> ~1% false-positive rate at k=7 (optimal
+#: k = m/n * ln2 ~ 6.9); the exact verify join removes FPs, so the rate
+#: only tunes how much posting volume the prefilter saves.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 7
+
+
+def _bloom_positions(h: np.ndarray, m_mask: np.uint64, k: int):
+    """k double-hashed bit positions per 64-bit key (Kirsch-Mitzenmacher:
+    g_i = h1 + i*h2 preserves the Bloom FP bound with 2 base hashes).
+
+    The two base hashes are the DISJOINT 32-bit halves of a splitmix64
+    finalizer — two affine multiplies of the raw key would both be
+    functions of ``key mod m``, collapsing the position set to log2(m)
+    bits of entropy (measured: 7.7% FP where theory says <1%).  Halved
+    bases bound a single filter shard at 2^32 bits (512 MiB) — beyond
+    that the filter is sharded by hash range anyway (``_build_bloom``)."""
+    z = h.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    h1 = z & np.uint64(0xFFFFFFFF)
+    h2 = (z >> np.uint64(32)) | np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) & m_mask).astype(np.int64)
+
+
+def _build_bloom(train_grams: rd.Dataset, n_keys: int) -> np.ndarray:
+    """Distributed Bloom build: per-block partial bitmaps OR-reduced on
+    the driver (#blocks x m/8 bytes — the sketch, never the keys).
+
+    Scale note: m grows linearly with distinct train grams (10 bits/key
+    = 1.25 GB per 10^9 grams).  Beyond broadcastable sizes, partition the
+    filter by gram-hash range and route postings to the matching shard —
+    same probe kernel, sharded state; at bench scale the filter is MBs."""
+    m_bits = 1 << max(13, int(np.ceil(np.log2(
+        max(1, n_keys) * BLOOM_BITS_PER_KEY))))
+    m_mask = np.uint64(m_bits - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = b["ngram"].to_numpy(zero_copy_only=False)
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pos in _bloom_positions(h, m_mask, BLOOM_K):
+            np.bitwise_or.at(bits, pos >> 3,
+                             (np.uint8(1) << (pos & 7).astype(np.uint8)))
+        return pa.table({"bloom": pa.array([bits.tobytes()],
+                                           type=pa.binary())})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for blob in train_grams.map_batches(
+            partial, batch_format="pyarrow").to_pandas()["bloom"]:
+        out |= np.frombuffer(blob, dtype=np.uint8)
+    return out
+
+
+def _bloom_probe(h: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    m_mask = np.uint64(len(bits) * 8 - 1)
+    ok = np.ones(len(h), dtype=bool)
+    for pos in _bloom_positions(h, m_mask, BLOOM_K):
+        ok &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+    return ok
+
+
 def decontaminate(sf_dir: str,
                   eval_sources: tuple = EVAL_SOURCES,
-                  num_partitions: int = 4) -> pd.DataFrame:
+                  num_partitions: int = 4,
+                  bloom_prefilter: bool = False) -> pd.DataFrame:
     """Train/eval n-gram contamination report: for every eval-side doc
     sharing >=1 word-3-gram with ANY train-side doc, emit
     ``(doc_id, n_grams, n_contaminated, contamination)``.
@@ -1236,7 +1426,16 @@ def decontaminate(sf_dir: str,
     tracks posting volume, with no quadratic pair step at all.  Gram
     identity is the 64-bit blake2b shingle hash (collision odds ~1e-10 at
     gate scale); the SQL oracle compares gram STRINGS, so a collision
-    would surface as a hash mismatch rather than hide."""
+    would surface as a hash mismatch rather than hide.
+
+    ``bloom_prefilter=True`` is the posting-volume scale path: a Bloom
+    filter over the distinct train grams (built as per-block partial
+    bitmaps OR-reduced, broadcast once via ``ray.put``) drops
+    definitely-uncontaminated eval postings BEFORE the semi-join; the
+    survivors still run the exact join, so Bloom false positives are
+    eliminated and the result is IDENTICAL to the exact path (same
+    oracle).  The prefilter pass rate lands in
+    ``LAST_METRICS['decontaminate_bloom']``."""
     es = set(eval_sources)
     sh = read_shingles(sf_dir, ["doc_id", "sh", "source"])
 
@@ -1283,8 +1482,25 @@ def decontaminate(sf_dir: str,
     ev = sh.map_batches(lambda b: postings(b, True),
                         batch_format="pyarrow").materialize()
     n_ev = ev.count()
-    if n_ev == 0 or train_grams.count() == 0:
+    n_train = train_grams.count()
+    if n_ev == 0 or n_train == 0:
         return empty
+    if bloom_prefilter:
+        bloom_ref = ray.put(_build_bloom(train_grams, n_train))
+
+        def probe(b: pa.Table) -> pa.Table:
+            bits = ray.get(bloom_ref)
+            h = b["ngram"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(_bloom_probe(h, bits)))
+
+        ev = ev.map_batches(probe, batch_format="pyarrow").materialize()
+        n_surv = ev.count()
+        LAST_METRICS["decontaminate_bloom"] = {
+            "eval_postings": int(n_ev), "bloom_survivors": int(n_surv),
+            "pass_rate": round(n_surv / n_ev, 4)}
+        if n_surv == 0:
+            return empty
+        n_ev = n_surv
     num_partitions = max(1, min(num_partitions, n_ev // 256))
     hits = ev.join(train_grams, "inner", num_partitions,
                    on=("ngram",), right_on=("ngram",))
@@ -2254,6 +2470,94 @@ def distinct_token_counts(sf_dir: str) -> pd.DataFrame:
         .groupby("lang").aggregate(Sum("n", alias_name="n_distinct")) \
         .to_pandas()
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+#: HyperLogLog precision: 2^14 registers -> ~0.8% standard error
+#: (Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+#: cardinality estimation algorithm", AofA'07).
+HLL_P = 14
+
+
+def _bit_length(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (frexp exponent on exact 32-bit
+    halves — float64 holds 32-bit ints exactly, so no log2 ulp risk)."""
+    w = w.astype(np.uint64)
+    hi = (w >> np.uint64(32)).astype(np.float64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    _, ehi = np.frexp(hi)
+    _, elo = np.frexp(lo)
+    return np.where(hi > 0, ehi + 32, elo).astype(np.int64)
+
+
+def _hll_update(regs: np.ndarray, h: np.ndarray) -> None:
+    """Fold 64-bit hashes into a 2^HLL_P register array in place."""
+    p = HLL_P
+    h = h.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)            # remaining 64-p bits, left-aligned
+    rank = np.where(w == 0, 64 - p + 1,
+                    64 - _bit_length(w) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    if e <= 2.5 * m:
+        v = int(np.count_nonzero(regs == 0))
+        if v:
+            e = m * np.log(m / v)    # linear counting, small range
+    return int(np.floor(e + 0.5))
+
+
+def distinct_token_counts_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT token) per language via HyperLogLog —
+    the sketch scale path beside the exact ``distinct_token_counts``.
+
+    100 TB shape: each block folds its (lang, token) pairs into per-lang
+    2^14-register arrays, so ONLY ``#langs x 16 KiB`` per block leaves
+    the workers (the exact path ships one 16-byte row per distinct token
+    per block); register merge is an elementwise max on the driver —
+    #blocks x #langs sketch rows, never token data.  Rows-only in the
+    driver registry (the estimate is approximate BY DESIGN); the pytest
+    gate pins relative error < 3% against the exact operator and the
+    run-to-run determinism of the hash."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = df["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        out_lang, out_reg = [], []
+        if len(flat):
+            langs = np.repeat(df["lang"].astype(str)
+                              .to_numpy(dtype=object), lens)
+            pairs = pd.DataFrame({"lang": langs, "tok": flat}) \
+                .drop_duplicates()
+            h1, _ = _hash128(pairs["tok"].to_numpy(dtype=object).tolist())
+            lang_arr = pairs["lang"].to_numpy(dtype=object)
+            for lg in pd.unique(lang_arr):
+                regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+                _hll_update(regs, h1[lang_arr == lg])
+                out_lang.append(str(lg))
+                out_reg.append(regs.tobytes())
+        return pa.table({"lang": pa.array(out_lang, type=pa.string()),
+                         "regs": pa.array(out_reg, type=pa.binary())})
+
+    parts = read_docs(sf_dir) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged: dict[str, np.ndarray] = {}
+    for lg, blob in zip(parts["lang"], parts["regs"]):
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        if lg in merged:
+            merged[lg] = np.maximum(merged[lg], regs)
+        else:
+            merged[lg] = regs
+    out = pd.DataFrame(
+        {"lang": list(merged),
+         "n_distinct_est": [_hll_estimate(r) for r in merged.values()]})
+    out["n_distinct_est"] = out["n_distinct_est"].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
 
 

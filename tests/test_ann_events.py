@@ -425,3 +425,41 @@ def test_kmeans_1iter_matches_numpy(ray_session):
                                    rtol=0, atol=1.01e-6)
     assert out["n_vecs"].iloc[::m.shape[1]].sum() == len(t) \
         or out.groupby("cluster")["n_vecs"].first().sum() == len(t)
+
+
+def test_dedup_cosine_clusters(ray_session):
+    """Clusters from the LSH pair miner close the exact-cosine pair
+    graph: recompute pairs brute-force, union-find, compare labels."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    tau = 0.45    # sf0.001 max pairwise cosine is ~0.479 (7 pairs here);
+                  # the registered query keeps the registry tau
+    out = ann.dedup_cosine_clusters(sf, tau=tau)
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.maximum(np.sqrt((m * m).sum(1, keepdims=True)), 1e-30)
+    sims = mn @ mn.T
+    ids = t["vec_id"].to_numpy(np.int64)
+    ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+    a, b = ids[ii], ids[jj]
+    assert len(a) > 0, "fixture should contain at least one near-dup pair"
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    lab = np.arange(len(nodes))
+    ia, ib = inv[:len(a)], inv[len(a):]
+    while True:
+        s = lab.copy()
+        mm = np.minimum(lab[ia], lab[ib])
+        np.minimum.at(lab, ia, mm)
+        np.minimum.at(lab, ib, mm)
+        lab = lab[lab]
+        if np.array_equal(lab, s):
+            break
+    exp = pd.DataFrame({"vec_id": nodes, "cluster_id": nodes[lab]})
+    exp["cluster_size"] = exp.groupby("cluster_id")["cluster_id"] \
+        .transform("size").astype(np.int64)
+    exp = exp.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

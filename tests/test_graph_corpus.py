@@ -105,6 +105,36 @@ def test_vocab_topk(tmp_path, ray_session):
     assert top["n"].tolist() == [3, 3, 2]
 
 
+def test_mg_compress_bound():
+    """Dropped tokens always had count <= the returned decrement d."""
+    counts = pd.Series({f"t{i}": i + 1 for i in range(100)})
+    s, d = textops._mg_compress(counts, 10)
+    assert len(s) <= 10
+    dropped = counts.index.difference(s.index)
+    assert (counts[dropped] <= d).all()
+    # surviving estimates undercount by exactly d
+    assert (counts[s.index] - s == d).all()
+
+
+def test_vocab_topk_mg_equals_exact(ray_session):
+    sf = "/root/testdata/sf0.001"
+    exact = textops.vocab_topk(sf)
+    mg = textops.vocab_topk_mg(sf)
+    pd.testing.assert_frame_equal(mg, exact)
+    m = textops.LAST_METRICS["vocab_topk_mg"]
+    assert m["certified"] in (True, False)  # recorded either way
+
+
+def test_vocab_topk_mg_fallback_on_failed_certificate(ray_session):
+    """A 3-counter budget on a flat distribution cannot certify: the
+    exact fallback must kick in and still match the exact path."""
+    sf = "/root/testdata/sf0.001"
+    exact = textops.vocab_topk(sf)
+    mg = textops.vocab_topk_mg(sf, counters=3)
+    pd.testing.assert_frame_equal(mg, exact)
+    assert textops.LAST_METRICS["vocab_topk_mg"]["certified"] is False
+
+
 # ---------------------------------------------------------------------------
 # corpus_split
 # ---------------------------------------------------------------------------
@@ -173,6 +203,44 @@ def test_decontaminate(contam_dir):
 def test_decontaminate_no_eval_side(contam_dir):
     rep = textops.decontaminate(contam_dir, eval_sources=("absent_src",))
     assert rep.empty
+
+
+def test_decontaminate_bloom_identical(contam_dir):
+    """Bloom prefilter + exact verify == exact path, and the prefilter
+    metrics are recorded."""
+    exact = textops.decontaminate(contam_dir, eval_sources=("eval_src",))
+    bloom = textops.decontaminate(contam_dir, eval_sources=("eval_src",),
+                                  bloom_prefilter=True)
+    pd.testing.assert_frame_equal(exact, bloom)
+    m = textops.LAST_METRICS["decontaminate_bloom"]
+    assert m["bloom_survivors"] <= m["eval_postings"]
+    assert 0 < m["pass_rate"] <= 1
+
+
+def test_decontaminate_bloom_tiny_filter_still_exact(contam_dir,
+                                                     monkeypatch):
+    """Force a saturated 8-KiB Bloom (every probe passes): the verify
+    join must still remove every false positive."""
+    monkeypatch.setattr(textops, "BLOOM_BITS_PER_KEY", 1)
+    exact = textops.decontaminate(contam_dir, eval_sources=("eval_src",))
+    bloom = textops.decontaminate(contam_dir, eval_sources=("eval_src",),
+                                  bloom_prefilter=True)
+    pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_bloom_no_false_negatives():
+    """Every inserted key must probe positive (Bloom soundness)."""
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-2**62, 2**62, size=5000, dtype=np.int64)
+    import ray.data as rd
+    ds = rd.from_pandas(pd.DataFrame({"ngram": keys}))
+    bits = textops._build_bloom(ds, len(keys))
+    assert textops._bloom_probe(keys, bits).all()
+    # and the FP rate on fresh keys is in the expected ~1% ballpark
+    probe = rng.integers(-2**62, 2**62, size=20000, dtype=np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = textops._bloom_probe(fresh, bits).mean()
+    assert fp < 0.05
 
 
 # ---------------------------------------------------------------------------

@@ -519,6 +519,41 @@ def test_distinct_token_counts_exact(tmp_path, ray_session):
     assert dict(zip(out["lang"], out["n_distinct"])) == {"en": 4, "sr": 2}
 
 
+def test_hll_unit_accuracy():
+    """Estimator accuracy on a known cardinality, pure numpy."""
+    rng = np.random.default_rng(3)
+    # full 64-bit range: the register index is the TOP 14 bits, so a
+    # [0, 2^63) draw would leave half the registers permanently zero
+    h = rng.integers(-2**63, 2**63, size=200_000, dtype=np.int64) \
+        .astype(np.uint64)
+    h = np.unique(h)
+    regs = np.zeros(1 << textops.HLL_P, dtype=np.uint8)
+    textops._hll_update(regs, h)
+    est = textops._hll_estimate(regs)
+    assert abs(est - len(h)) / len(h) < 0.03
+    # merge property: two half-sketches max-merge to the full sketch
+    r1 = np.zeros_like(regs)
+    r2 = np.zeros_like(regs)
+    textops._hll_update(r1, h[: len(h) // 2])
+    textops._hll_update(r2, h[len(h) // 2:])
+    assert (np.maximum(r1, r2) == regs).all()
+
+
+def test_distinct_token_counts_hll_vs_exact(ray_session):
+    sf = "/root/testdata/sf0.001"
+    exact = textops.distinct_token_counts(sf).set_index("lang")["n_distinct"]
+    est = textops.distinct_token_counts_hll(sf) \
+        .set_index("lang")["n_distinct_est"]
+    assert set(est.index) == set(exact.index)
+    for lang in exact.index:
+        err = abs(est[lang] - exact[lang]) / max(exact[lang], 1)
+        assert err < 0.03, (lang, est[lang], exact[lang])
+    # determinism: the sketch is a pure function of the input
+    est2 = textops.distinct_token_counts_hll(sf) \
+        .set_index("lang")["n_distinct_est"]
+    assert (est == est2).all()
+
+
 def test_dup_span_stats_rollup(span_dir):
     df = textops.dup_span_stats(span_dir).to_pandas() \
         .set_index("doc_id").sort_index()
