@@ -851,3 +851,45 @@ def dedup_cosine_clusters(sf_dir: str, tau: float = 0.8) -> pd.DataFrame:
     out = graph.cluster_labels(edges)
     return out.rename(columns={"doc_id": "vec_id"}) \
         .sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# dimensionality reduction: Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIM = 16
+JL_SEED = 1234
+
+
+def jl_matrix(dim: int = 64, out_dim: int = JL_OUT_DIM) -> np.ndarray:
+    """Deterministic Rademacher projection matrix (+-1 entries; Achlioptas
+    2003 — database-friendly JL): integer entries embed EXACTLY into the
+    oracle's SQL VALUES table, and the 1/sqrt(out_dim)=1/4 scale is a
+    power of two, so engine and oracle compute bit-identical products up
+    to summation order."""
+    rng = np.random.default_rng(JL_SEED)
+    return rng.choice(np.array([-1.0, 1.0]), size=(dim, out_dim))
+
+
+def embedding_project(sf_dir: str, out_dim: int = JL_OUT_DIM) -> rd.Dataset:
+    """Project every embedding to ``out_dim`` dims: one broadcast of the
+    64 x out_dim matrix, per-batch float64 matmul, 6-dp floor rounding
+    (the engine-wide pre-compare convention).  Long output layout
+    ``(vec_id, dim_idx, value)`` — the same shape ``embedding_quantize``
+    ships.  Streaming: no aggregate, no shuffle, cost is one pass."""
+    r = jl_matrix(out_dim=out_dim)
+    scale = 1.0 / np.sqrt(out_dim)
+    ref = ray.put(r)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        p = (m @ ray.get(ref)) * scale
+        p = np.floor(p * 1e6 + 0.5) / 1e6
+        n, k = p.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "dim_idx": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "value": pa.array(p.reshape(-1))})
+
+    return read_embeddings(sf_dir, coalesce=True) \
+        .map_batches(partial, batch_format="pyarrow")

@@ -1988,3 +1988,26 @@ SELECT vec_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
            AS cluster_size
 FROM lab ORDER BY vec_id"""
+
+
+def embedding_project_sql(r) -> str:
+    """JL projection oracle: the +-1 Rademacher matrix rides in as an
+    integer VALUES table (exact); the projected component is
+    SUM(x_i * r_ij) / sqrt(out_dim) with out_dim a power of two, floored
+    at 6 dp on both sides."""
+    import numpy as np
+    dim, out_dim = r.shape
+    assert float(np.sqrt(out_dim)).is_integer(), "out_dim must be square"
+    s = int(np.sqrt(out_dim))
+    vals = ",".join(f"({i},{j},{int(r[i, j])})"
+                    for i in range(dim) for j in range(out_dim))
+    return f"""
+WITH r(i, j, v) AS (VALUES {vals}),
+comp AS (
+  SELECT e.vec_id, CAST(u.i - 1 AS BIGINT) AS i,
+         CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i))
+SELECT c.vec_id, CAST(r.j AS BIGINT) AS dim_idx,
+       floor(sum(c.x * r.v) / {s} * 1e6 + 0.5) / 1e6 AS value
+FROM comp c JOIN r ON r.i = c.i
+GROUP BY 1, 2 ORDER BY 1, 2"""

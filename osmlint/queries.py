@@ -325,6 +325,13 @@ def dedup_cosine_clusters(sf_dir: str):
     return ann.dedup_cosine_clusters(sf_dir, tau=COS_TAU)
 
 
+def embedding_project(sf_dir: str):
+    """Johnson-Lindenstrauss Rademacher projection to 16 dims (one
+    broadcast matrix, per-batch matmul, streaming — no shuffle)."""
+    from . import ann
+    return ann.embedding_project(sf_dir)
+
+
 def repetition_stats(sf_dir: str):
     from . import textops
     return textops.repetition_stats(sf_dir)
@@ -641,6 +648,7 @@ def ray_queries() -> dict:
         "distinct_token_counts_hll": distinct_token_counts_hll,
         "vocab_topk_mg": vocab_topk_mg,
         "dedup_cosine_clusters": dedup_cosine_clusters,
+        "embedding_project": embedding_project,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -842,6 +850,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "embedding_cosine_pairs_lsh": oracle_sql.cosine_pairs_sql(COS_TAU),
         "dedup_cosine_clusters":
             oracle_sql.dedup_cosine_clusters_sql(COS_TAU),
+        "embedding_project": oracle_sql.embedding_project_sql(
+            _ann().jl_matrix()),
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,

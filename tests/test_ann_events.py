@@ -463,3 +463,33 @@ def test_dedup_cosine_clusters(ray_session):
         .transform("size").astype(np.int64)
     exp = exp.sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_embedding_project_jl_property(ray_session):
+    """Projection is deterministic and roughly distance-preserving
+    (JL with 16 dims is coarse — gate at a loose, seed-pinned band)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    out = ann.embedding_project(sf).to_pandas()
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    k = ann.JL_OUT_DIM
+    assert len(out) == len(t) * k
+    p = out.sort_values(["vec_id", "dim_idx"])["value"] \
+        .to_numpy().reshape(len(t), k)
+    # exact recompute (same matrix, same rounding)
+    exp = (m @ ann.jl_matrix()) / np.sqrt(k)
+    exp = np.floor(exp * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(p, exp)
+    # JL: median pairwise distance ratio near 1 on a sample
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(t), size=(200, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d0 = np.linalg.norm(m[idx[:, 0]] - m[idx[:, 1]], axis=1)
+    d1 = np.linalg.norm(p[idx[:, 0]] - p[idx[:, 1]], axis=1)
+    ratio = d1 / np.maximum(d0, 1e-30)
+    assert 0.8 < np.median(ratio) < 1.2
