@@ -423,3 +423,75 @@ def anomalies(sf_dir: str, z_thresh: float = ANOMALY_Z) -> pd.DataFrame:
                            "value": pd.Series(dtype=np.float64),
                            "z": pd.Series(dtype=np.float64)})
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+# --- daily volume trend (distributed OLS via exact integer moments) -------
+
+#: fixed x-origin (2024-01-01 as days since epoch) — centering the day
+#: index keeps every OLS sufficient statistic small enough to stay EXACT
+#: in int64 on both the Ray and the SQL side (no float cancellation, no
+#: reduction-order sensitivity; only the final two divisions are float).
+TREND_X0 = 19723
+
+
+def daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type least-squares trend of daily event volume —
+    the capacity-planning regression over an event stream
+    (``y = slope * (epoch_day - TREND_X0) + intercept``).
+
+    Shape: per-batch (event_type, day) partial counts -> one bounded
+    groupby (#types x #days rows) -> per-type integer moment partials
+    (sx, sy, sxy, sxx over days) -> a #types-row aggregate; the driver
+    only ever sees #types rows.  All moments are integer-exact, so the
+    distributed reduction order cannot perturb the result; ``slope`` /
+    ``intercept`` are the textbook closed forms rounded to 6 dp with the
+    engine's floor convention.  A single-day type (denominator 0) reports
+    slope 0 and the day's mean as intercept."""
+    ds = read_events(sf_dir, columns=["event_type", "ts"])
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64) - TREND_X0
+        g = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "x": day}) \
+            .groupby(["event_type", "x"], sort=False) \
+            .size().reset_index(name="y")
+        return pa.table({"event_type": pa.array(g["event_type"],
+                                                type=pa.string()),
+                         "x": pa.array(g["x"].to_numpy(np.int64)),
+                         "y": pa.array(g["y"].to_numpy(np.int64))})
+
+    daily = (ds.map_batches(daily_partial, batch_format="pyarrow")
+             .groupby(["event_type", "x"])
+             .aggregate(Sum("y", alias_name="y")))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "n_days": np.ones(len(df), dtype=np.int64),
+                          "sy": y, "sx": x, "sxy": x * y, "sxx": x * x}) \
+            .groupby("event_type", sort=False).sum().reset_index()
+        return to_arrow(g)
+
+    agg = (daily.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n_days", "sy", "sx", "sxy", "sxx")])
+           .to_pandas())
+    n = agg["n_days"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    a_num = (n * agg["sxy"].to_numpy(np.int64) - sx * sy).astype(np.float64)
+    b_den = (n * agg["sxx"].to_numpy(np.int64) - sx * sx).astype(np.float64)
+    slope = np.where(b_den > 0, a_num / np.where(b_den > 0, b_den, 1.0), 0.0)
+    intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) / n
+    out = pd.DataFrame({
+        "event_type": agg["event_type"].astype(str),
+        "n_days": n,
+        "n_events": sy,
+        "slope": np.floor(slope * 1e6 + 0.5) / 1e6,
+        "intercept": np.floor(intercept * 1e6 + 0.5) / 1e6})
+    return out.sort_values("event_type").reset_index(drop=True)

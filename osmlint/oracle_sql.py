@@ -1856,6 +1856,43 @@ SELECT event_id, event_type, value, z FROM z
 WHERE abs(z) >= {z_thresh!r} ORDER BY event_id"""
 
 
+def events_daily_trend_sql(x0: int) -> str:
+    """Per-type OLS trend of daily event counts.  The sufficient
+    statistics (n, sx, sy, sxy, sxx over the centered day index) are
+    INTEGER-exact on both sides, so reduction order is irrelevant; the
+    closed-form slope/intercept divisions are mirrored term-for-term
+    (single-day types: slope 0, intercept = day mean) and floor-rounded
+    to 6 dp."""
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           - {x0} AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+), fit AS (
+  SELECT event_type, n_days, sy, sx,
+         CASE WHEN n_days * sxx - sx * sx > 0
+              THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_days * sxx - sx * sx AS DOUBLE)
+              ELSE 0.0 END AS slope_raw
+  FROM s
+)
+SELECT event_type, n_days, sy AS n_events,
+       floor(slope_raw * 1e6 + 0.5) / 1e6 AS slope,
+       floor((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE))
+             / n_days * 1e6 + 0.5) / 1e6 AS intercept
+FROM fit ORDER BY event_type"""
+
+
 def kmeans_1iter_sql(k: int) -> str:
     """One Lloyd iteration from fixed seeds (the k lowest vec_ids'
     normalized vectors): nearest-seed assignment (max cosine == min
@@ -1904,8 +1941,10 @@ def geo_clusters_sql(d: str, eps_km: float, min_pts: int,
     components of the core-core graph as a FIXED-ROUND alternating
     min-propagation + pointer-jump CTE chain (AS MATERIALIZED breaks the
     exponential CTE-inlining blowup; ``rounds`` = 48 vs a measured 29 to
-    converge at sf0.01 — extra rounds past convergence are no-ops, and
-    the in-repo parity tests pin agreement at both gate scales); border
+    converge at sf0.01 and 34 at sf0.1 (53,573 cores / 324 clusters) —
+    growth is sub-linear in scale because the jump step halves chain
+    depth, extra rounds past convergence are no-ops, and the in-repo
+    parity tests pin agreement at both gate scales); border
     points take the MINIMUM core-neighbor label (the deterministic
     variant the engine implements)."""
     hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")

@@ -511,6 +511,11 @@ def events_anomalies(sf_dir: str):
     return eventops.anomalies(sf_dir)
 
 
+def events_daily_trend(sf_dir: str):
+    from . import eventops
+    return eventops.daily_trend(sf_dir)
+
+
 def media_features(sf_dir: str):
     from . import media
     return media.media_features(_synth(sf_dir))
@@ -649,6 +654,7 @@ def ray_queries() -> dict:
         "vocab_topk_mg": vocab_topk_mg,
         "dedup_cosine_clusters": dedup_cosine_clusters,
         "embedding_project": embedding_project,
+        "events_daily_trend": events_daily_trend,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -863,6 +869,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "events_retention": oracle_sql.EVENTS_RETENTION_SQL,
         "events_anomalies": oracle_sql.events_anomalies_sql(
             _eventops().ANOMALY_Z),
+        "events_daily_trend": oracle_sql.events_daily_trend_sql(
+            _eventops().TREND_X0),
         "media_features": oracle_sql.media_features_sql(d),
         "media_resize": oracle_sql.media_resize_sql(d),
         "media_frame_sample": oracle_sql.media_frame_sample_sql(d),

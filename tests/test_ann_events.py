@@ -340,6 +340,44 @@ def test_events_anomalies_zscore(tmp_path, ray_session):
     assert out["z"].iloc[0] > 3
 
 
+def test_events_daily_trend_closed_form(tmp_path, ray_session):
+    """A perfectly linear daily volume recovers its exact slope and
+    intercept; a single-day type reports slope 0 and the day's count."""
+    import pyarrow.parquet as pq
+
+    from osmlint import eventops
+    d = tmp_path / "trend"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # type 'lin': y = 2x + 3 events on days x = 0..4 (from TREND_X0)
+    base = pd.Timestamp("1970-01-01") + pd.Timedelta(days=eventops.TREND_X0)
+    for x in range(5):
+        for _ in range(2 * x + 3):
+            rows.append((eid, base + pd.Timedelta(days=x, minutes=eid % 7),
+                         1, "lin", 1.0))
+            eid += 1
+    # type 'one': a single day with 4 events
+    for _ in range(4):
+        rows.append((eid, base + pd.Timedelta(days=2, seconds=eid), 2,
+                     "one", 1.0))
+        eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "events.parquet"))
+    out = eventops.daily_trend(str(d)).set_index("event_type")
+    assert out.loc["lin", "slope"] == 2.0
+    assert out.loc["lin", "intercept"] == 3.0
+    assert out.loc["lin", "n_days"] == 5
+    assert out.loc["lin", "n_events"] == sum(2 * x + 3 for x in range(5))
+    assert out.loc["one", "slope"] == 0.0
+    assert out.loc["one", "intercept"] == 4.0
+    assert out.loc["one", "n_days"] == 1
+
+
 def test_embedding_kmeans_invariants(ray_session):
     import numpy as np
     import pyarrow.parquet as pq

@@ -61,7 +61,7 @@ def _events_canon(df):
 @pytest.mark.parametrize("name", [
     "events_window", "events_sessionize", "events_asof_attribution",
     "events_funnel", "events_range_join", "events_retention",
-    "events_anomalies"])
+    "events_anomalies", "events_daily_trend"])
 def test_events_oracle_parity_sf01(ray_session, name):
     """Run each events query AND its oracle SQL at sf0.1 (10x the
     driver's gate scale): user-hash bucket counts, window merges and
@@ -88,6 +88,8 @@ def test_events_oracle_parity_sf01(ray_session, name):
         "events_retention": oracle_sql.EVENTS_RETENTION_SQL,
         "events_anomalies": oracle_sql.events_anomalies_sql(
             ev.ANOMALY_Z),
+        "events_daily_trend": oracle_sql.events_daily_trend_sql(
+            ev.TREND_X0),
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)
