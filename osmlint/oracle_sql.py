@@ -1352,6 +1352,50 @@ SELECT doc_id, token, s AS tfidf, CAST(r AS BIGINT) AS rank
 FROM ranked WHERE r <= {top} ORDER BY doc_id, rank"""
 
 
+def bm25_topk_sql(queries: dict, k1: float, b: float, top: int) -> str:
+    """Okapi BM25 top-k per query, the exact corpus statistics (df over
+    query terms, N, avgdl) and the smoothed-idf scoring formula mirrored
+    term-for-term against the Ray kernel; scores floor-rounded to 6 dp
+    BEFORE ranking, ties doc_id asc."""
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, ts in sorted(queries.items()) for t in ts)
+    return rf"""
+WITH q(query_id, token) AS (VALUES {qvals}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), n AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT count(*) FROM toks) AS DOUBLE)
+           / (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+  SELECT t.doc_id, q.query_id, t.token, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks t JOIN q ON q.token = t.token
+  GROUP BY 1, 2, 3
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1
+), scored AS (
+  SELECT tf.query_id, tf.doc_id,
+         floor(sum(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * {k1 + 1.0!r}
+                   / (tf.tf + {k1!r} * (1 - {b!r} + {b!r}
+                      * (dl.dl / n.avgdl)))) * 1e6 + 0.5) / 1e6 AS score
+  FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN n GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {top} ORDER BY query_id, rank"""
+
+
 def dup_spans_sql(k: int) -> str:
     """Cross-document duplicated k-gram spans: grams grouped by STRING
     (the ground truth the Ray side's 128-bit blake2b keys stand in for),

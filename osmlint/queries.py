@@ -382,6 +382,11 @@ def tfidf_keywords(sf_dir: str):
     return textops.tfidf_keywords(sf_dir)
 
 
+def bm25_topk(sf_dir: str):
+    from . import textops
+    return textops.bm25_topk(sf_dir)
+
+
 def corpus_filter(sf_dir: str):
     from . import textops
     return textops.corpus_filter(sf_dir)
@@ -655,6 +660,7 @@ def ray_queries() -> dict:
         "dedup_cosine_clusters": dedup_cosine_clusters,
         "embedding_project": embedding_project,
         "events_daily_trend": events_daily_trend,
+        "bm25_topk": bm25_topk,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -828,6 +834,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _textops().TOP_QUALITY_N),
         "tfidf_keywords": oracle_sql.tfidf_keywords_sql(
             _textops().TFIDF_TOP, _textops().TFIDF_MIN_DF),
+        "bm25_topk": oracle_sql.bm25_topk_sql(
+            _textops().BM25_QUERIES, _textops().BM25_K1,
+            _textops().BM25_B, _textops().BM25_TOP),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

@@ -1957,6 +1957,130 @@ def tfidf_keywords(sf_dir: str, top: int = TFIDF_TOP,
 
 
 # ---------------------------------------------------------------------------
+# Okapi BM25 query-relevance ranking
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+#: fixed retrieval query set over the synthetic vocabulary; queries are
+#: DATA here — a real deployment broadcasts an arbitrary query table the
+#: same way (the per-batch tf matrix is |batch| x |query terms|).
+BM25_QUERIES = {
+    0: ("hash", "join", "merge"),
+    1: ("customer", "order", "line"),
+    2: ("slow", "scan"),
+    3: ("vector", "batch", "window"),
+}
+
+
+def bm25_topk(sf_dir: str, queries: dict | None = None,
+              k1: float = BM25_K1, b: float = BM25_B,
+              top: int = BM25_TOP) -> pd.DataFrame:
+    """Okapi BM25 top-``top`` retrieval for a broadcast query set
+    (Robertson et al., TREC-3; smoothed idf ``ln(1 + (N-df+.5)/(df+.5))``)
+    over lowercase whitespace tokens.
+
+    Two bounded passes, no per-doc shuffle: pass 1 folds each block into
+    (query-term df, doc count, token count) partials -> a |terms|+2-row
+    aggregate yields idf and avgdl; pass 2 re-reads docs, builds the
+    per-(doc, term) tf matrix IN-BATCH and keeps only the per-batch
+    per-query top-k (rounded to 6 dp BEFORE ranking, ties doc_id asc, so
+    the per-batch heads merge exactly) — the driver sees
+    #blocks x |queries| x k candidate rows."""
+    if queries is None:
+        queries = BM25_QUERIES
+    terms = np.array(sorted({t for ts in queries.values() for t in ts}),
+                     dtype=object)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    _N_KEY, _DL_KEY = "\x00n_docs", "\x00total_tokens"
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        df_ = batch.to_pandas()
+        toks = df_["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        flat = toks.explode().dropna()
+        m = flat[flat.isin(terms)]
+        u = pd.DataFrame({"i": m.index.to_numpy(),
+                          "t": m.to_numpy(dtype=object)}).drop_duplicates()
+        vc = u["t"].value_counts()
+        keys = list(vc.index) + [_N_KEY, _DL_KEY]
+        vals = list(vc.to_numpy(np.int64)) + [len(df_), int(lens.sum())]
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "v": pa.array(np.asarray(vals, dtype=np.int64))})
+
+    agg = (docs.map_batches(stats_partial, batch_format="pyarrow")
+           .groupby("key").aggregate(Sum("v", alias_name="v"))
+           .to_pandas().set_index("key")["v"])
+    n_docs = float(agg.get(_N_KEY, 0))
+    if n_docs == 0:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64),
+                             "rank": pd.Series(dtype=np.int64)})
+    avgdl = max(float(agg.get(_DL_KEY, 0)) / n_docs, 1e-30)
+    dfv = np.array([float(agg.get(t, 0)) for t in terms])
+    # smoothed idf, mirrored term-for-term in the SQL oracle
+    idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+    k1p1 = k1 + 1.0
+    qlist = sorted(queries.items())
+    qcols = [np.array([int(np.searchsorted(terms, t)) for t in ts],
+                      dtype=np.int64) for _, ts in qlist]
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_ = batch.to_pandas()
+        ids = df_["doc_id"].to_numpy(np.int64)
+        toks = df_["text"].fillna("").str.lower().str.split()
+        lens = toks.str.len().fillna(0).astype(np.int64) \
+            .to_numpy().astype(np.float64)
+        flat = toks.explode().dropna()
+        m = flat[flat.isin(terms)]
+        tfm = np.zeros((len(df_), len(terms)))
+        if len(m):
+            gi = m.index.to_numpy()
+            ti = np.searchsorted(terms, m.to_numpy(dtype=object))
+            np.add.at(tfm, (gi, ti), 1.0)
+        denom_base = k1 * (1 - b + b * (lens / avgdl))
+        out_q, out_d, out_s = [], [], []
+        for (qid, _), cols in zip(qlist, qcols):
+            sub = tfm[:, cols]
+            present = sub.sum(axis=1) > 0
+            if not present.any():
+                continue
+            s = np.zeros(int(present.sum()))
+            for c in cols:                      # <=|query| terms, sorted
+                tfc = tfm[present, c]
+                s = s + idf[c] * tfc * k1p1 / (tfc + denom_base[present])
+            s = _round6(s)
+            dd = ids[present]
+            keep = np.lexsort((dd, -s))[:top]
+            out_q.append(np.full(len(keep), qid, dtype=np.int64))
+            out_d.append(dd[keep])
+            out_s.append(s[keep])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    cand = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                             "doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64),
+                             "rank": pd.Series(dtype=np.int64)})
+    cand = cand.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+    cand["rank"] = cand.groupby("query_id", sort=False).cumcount() + 1
+    cand = cand[cand["rank"] <= top]
+    cand["rank"] = cand["rank"].astype(np.int64)
+    return cand.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # exact substring-level dedup: cross-document duplicated k-gram spans
 # ---------------------------------------------------------------------------
 

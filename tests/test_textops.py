@@ -730,3 +730,47 @@ def test_winnow_dup_pairs_cap_counted(doc_dir):
     capped = textops.winnow_dup_pairs(doc_dir, tau=0.5, cap=2)
     m = textops.LAST_METRICS["winnow_dup_pairs"]
     assert m["skipped_buckets"] > 0
+
+
+def test_bm25_topk_hand_computed(tmp_path, ray_session):
+    """BM25 against a 3-doc corpus small enough to score by hand:
+    higher tf wins, longer docs are penalized, absent-term docs drop."""
+    import numpy as np
+    d = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["apple apple pear",                  # tf=2, dl=3
+                 "apple pear pear pear pear pear",    # tf=1, dl=6
+                 "banana banana banana"],             # tf=0
+        "lang": "en", "source": "s", "n_chars": 1})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.bm25_topk(d, queries={7: ("apple",)}, top=5)
+    # only the two docs containing 'apple' appear, tf=2/dl=3 first
+    assert list(out["query_id"].unique()) == [7]
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["rank"]) == [1, 2]
+    N, df_t, avgdl = 3.0, 2.0, (3 + 6 + 3) / 3.0
+    idf = np.log(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    k1, b = textops.BM25_K1, textops.BM25_B
+
+    def s(tf, dl):
+        raw = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+        return np.floor(raw * 1e6 + 0.5) / 1e6
+
+    assert out["score"].iloc[0] == s(2, 3)
+    assert out["score"].iloc[1] == s(1, 6)
+
+
+def test_bm25_topk_tie_and_k_cut(tmp_path, ray_session):
+    """Identical docs tie on score and break doc_id asc; top cuts."""
+    d = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1],
+        "text": ["x y", "x y", "x y", "x y"],
+        "lang": "en", "source": "s", "n_chars": 1})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = textops.bm25_topk(d, queries={0: ("x",)}, top=3)
+    assert list(out["doc_id"]) == [1, 3, 5]
+    assert out["score"].nunique() == 1
