@@ -893,3 +893,114 @@ def embedding_project(sf_dir: str, out_dim: int = JL_OUT_DIM) -> rd.Dataset:
 
     return read_embeddings(sf_dir, coalesce=True) \
         .map_batches(partial, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# product quantization: PQ encode + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces: 64-dim -> 8 subvectors of 8
+PQ_KSUB = 16   # centroids per subspace -> 4-bit codes, 8 x 4 = 32 bits/vec
+
+
+def _pq_codebook(sf_dir: str, m: int = PQ_M,
+                 ksub: int = PQ_KSUB) -> np.ndarray:
+    """Deterministic sampled codebook (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11 — one k-means
+    init step): centroid ``j`` of subspace ``s`` is the raw subvector of
+    the database vector ``vec_id == j``.  Data-derived AND
+    SQL-expressible, the same convention as the k-means seed oracle;
+    shape (m, ksub, dim/m)."""
+    ids, mat = _batch_matrix(_query_vectors(sf_dir, ksub))
+    order = np.argsort(ids)
+    mat = mat[order]
+    if len(mat) < ksub:
+        raise ValueError(f"PQ codebook needs >= {ksub} vectors, "
+                         f"got {len(mat)}")
+    dsub = mat.shape[1] // m
+    return mat.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+
+def _pq_assign(mat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, dim) x (m, ksub, dsub) -> (n, m) int64 codes; squared-L2
+    argmin per subspace, ties to the lowest centroid index (numpy argmin
+    == the oracle's row_number ORDER BY dist, j)."""
+    n, dim = mat.shape
+    m, ksub, dsub = cb.shape
+    sub = mat.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        d2 = ((sub[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_encode(sf_dir: str, m: int = PQ_M,
+              ksub: int = PQ_KSUB) -> rd.Dataset:
+    """PQ-encode every embedding against the broadcast codebook — the
+    compression stage of a billion-scale ANN index (64 floats -> m
+    4-bit codes).  One streaming pass, no shuffle; long layout
+    ``(vec_id, sub, code)`` so the oracle can diff every cell."""
+    cb_ref = ray.put(_pq_codebook(sf_dir, m, ksub))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        codes = _pq_assign(mat, ray.get(cb_ref))
+        n, mm = codes.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, mm)),
+            "sub": pa.array(np.tile(np.arange(mm, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1))})
+
+    return read_embeddings(sf_dir, coalesce=True) \
+        .map_batches(partial, batch_format="pyarrow")
+
+
+def pq_topk_adc(sf_dir: str, k: int = 5, n_queries: int = 4,
+                m: int = PQ_M, ksub: int = PQ_KSUB) -> pd.DataFrame:
+    """Asymmetric-distance top-k: each query precomputes its
+    (m x ksub) lookup table of exact subspace distances to the
+    codebook; a database vector's approximate distance is the sum of
+    its codes' LUT entries.  The scan fuses encode + LUT-gather +
+    per-batch per-query top-k (distances 6-dp floor-rounded BEFORE
+    ranking, ties neighbor asc), so the driver merges
+    #blocks x n_queries x k rows — the PQ search path that replaces
+    the O(n * dim) exact scan with O(n * m) byte lookups at 100 TB."""
+    cb = _pq_codebook(sf_dir, m, ksub)
+    q_ids, q_mat = _batch_matrix(_query_vectors(sf_dir, n_queries))
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    dsub = q_mat.shape[1] // m
+    qsub = q_mat.reshape(len(q_ids), m, dsub)
+    # lut[q, s, j] = ||q_sub_s - cb[s][j]||^2
+    lut = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    ref = ray.put((q_ids, lut, cb))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, lt, cbk = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        codes = _pq_assign(mat, cbk)
+        subs = np.arange(codes.shape[1])
+        out_q, out_n, out_d = [], [], []
+        for c in range(len(qi)):
+            adist = lt[c][subs[None, :], codes].sum(axis=1)
+            adist = np.floor(adist * 1e6 + 0.5) / 1e6
+            keep = ids != qi[c]
+            dd, aa = ids[keep], adist[keep]
+            head = np.lexsort((dd, aa))[:k]
+            out_q.append(np.full(len(head), qi[c], dtype=np.int64))
+            out_n.append(dd[head])
+            out_d.append(aa[head])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "adist": pa.array(np.concatenate(out_d), type=pa.float64())})
+
+    cand = read_embeddings(sf_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "adist", "neighbor_id"],
+                            ascending=[True, True, True], kind="stable")
+    top = cand.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
+    return top[["query_id", "neighbor_id", "adist", "rank"]] \
+        .reset_index(drop=True)

@@ -1973,6 +1973,70 @@ GROUP BY a.cluster, c.dim_idx
 ORDER BY cluster, dim_idx"""
 
 
+def _pq_cte(m: int, ksub: int, dsub: int) -> str:
+    """Shared CTE fragment: sampled codebook (centroid j of subspace s =
+    raw subvector of vec_id j — the engine's data-derived convention) and
+    squared-L2 argmin codes, ties to the lowest centroid index."""
+    return f"""
+cb AS (SELECT vec_id AS j, embedding AS ce FROM embeddings
+       WHERE vec_id < {ksub}),
+cdiffs AS (
+  SELECT e.vec_id, u.s AS sub, cb.j,
+         CAST(e.embedding[CAST(u.s * {dsub} + t.i + 1 AS BIGINT)] AS DOUBLE)
+         - CAST(cb.ce[CAST(u.s * {dsub} + t.i + 1 AS BIGINT)] AS DOUBLE)
+           AS df
+  FROM embeddings e
+  CROSS JOIN cb
+  CROSS JOIN unnest(range({m})) AS u(s)
+  CROSS JOIN unnest(range({dsub})) AS t(i)),
+cdist AS (SELECT vec_id, CAST(sub AS BIGINT) AS sub, j,
+                 sum(df * df) AS d2
+          FROM cdiffs GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, sub, CAST(j AS BIGINT) AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d2, j) AS rn FROM cdist)
+  WHERE rn = 1)"""
+
+
+def pq_encode_sql(m: int, ksub: int, dim: int = 64) -> str:
+    """PQ codes, one row per (vec, subspace)."""
+    return ("WITH " + _pq_cte(m, ksub, dim // m)
+            + "\nSELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub")
+
+
+def pq_topk_adc_sql(k: int, n_queries: int, m: int, ksub: int,
+                    dim: int = 64) -> str:
+    """Asymmetric-distance top-k: exact per-query LUT of subspace
+    distances to the codebook, summed over each database vector's codes,
+    6-dp floor-rounded before ranking (ties neighbor asc, self
+    excluded)."""
+    dsub = dim // m
+    return "WITH " + _pq_cte(m, ksub, dsub) + f""",
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {n_queries}),
+ldiffs AS (
+  SELECT q.qid, u.s AS sub, cb.j,
+         CAST(q.qe[CAST(u.s * {dsub} + t.i + 1 AS BIGINT)] AS DOUBLE)
+         - CAST(cb.ce[CAST(u.s * {dsub} + t.i + 1 AS BIGINT)] AS DOUBLE)
+           AS df
+  FROM q CROSS JOIN cb
+  CROSS JOIN unnest(range({m})) AS u(s)
+  CROSS JOIN unnest(range({dsub})) AS t(i)),
+lut AS (SELECT qid, CAST(sub AS BIGINT) AS sub, j, sum(df * df) AS d2
+        FROM ldiffs GROUP BY 1, 2, 3),
+scored AS (
+  SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+         floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adist
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.j = c.code
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adist, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rn
+      FROM scored WHERE neighbor_id <> query_id)
+WHERE rn <= {k} ORDER BY query_id, rank"""
+
+
 # ---------------------------------------------------------------------------
 # geo_clusters oracle (DBSCAN over named-CTV points)
 # ---------------------------------------------------------------------------

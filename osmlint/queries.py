@@ -332,6 +332,16 @@ def embedding_project(sf_dir: str):
     return ann.embedding_project(sf_dir)
 
 
+def pq_encode(sf_dir: str):
+    from . import ann
+    return ann.pq_encode(sf_dir)
+
+
+def pq_topk_adc(sf_dir: str):
+    from . import ann
+    return ann.pq_topk_adc(sf_dir)
+
+
 def repetition_stats(sf_dir: str):
     from . import textops
     return textops.repetition_stats(sf_dir)
@@ -661,6 +671,8 @@ def ray_queries() -> dict:
         "embedding_project": embedding_project,
         "events_daily_trend": events_daily_trend,
         "bm25_topk": bm25_topk,
+        "pq_encode": pq_encode,
+        "pq_topk_adc": pq_topk_adc,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -867,6 +879,10 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             oracle_sql.dedup_cosine_clusters_sql(COS_TAU),
         "embedding_project": oracle_sql.embedding_project_sql(
             _ann().jl_matrix()),
+        "pq_encode": oracle_sql.pq_encode_sql(
+            _ann().PQ_M, _ann().PQ_KSUB),
+        "pq_topk_adc": oracle_sql.pq_topk_adc_sql(
+            5, 4, _ann().PQ_M, _ann().PQ_KSUB),
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,

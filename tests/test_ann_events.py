@@ -340,6 +340,38 @@ def test_events_anomalies_zscore(tmp_path, ray_session):
     assert out["z"].iloc[0] > 3
 
 
+def test_pq_encode_and_adc_invariants(ray_session):
+    """Codes stay in [0, KSUB); a codebook vector encodes to itself in
+    every subspace (zero quantization error), so its ADC distance to any
+    query equals the EXACT squared L2 distance (up to 6-dp rounding)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    codes = ann.pq_encode(sf).to_pandas()
+    assert codes["code"].between(0, ann.PQ_KSUB - 1).all()
+    assert codes["sub"].between(0, ann.PQ_M - 1).all()
+    n_vecs = codes["vec_id"].nunique()
+    assert len(codes) == n_vecs * ann.PQ_M
+    # self-encoding: vec j < KSUB picks centroid j in every subspace
+    own = codes[codes["vec_id"] < ann.PQ_KSUB]
+    assert (own["code"] == own["vec_id"]).all()
+    # ADC == exact distance for zero-error (codebook) database vectors
+    top = ann.pq_topk_adc(sf, k=10_000, n_queries=2)
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    emb = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+           for _, r in t.iterrows()}
+    checked = 0
+    for _, r in top.iterrows():
+        if r["neighbor_id"] < ann.PQ_KSUB:
+            exact = ((emb[int(r["query_id"])]
+                      - emb[int(r["neighbor_id"])]) ** 2).sum()
+            assert abs(r["adist"] - exact) < 1e-5
+            checked += 1
+    assert checked > 0
+
+
 def test_events_daily_trend_closed_form(tmp_path, ray_session):
     """A perfectly linear daily volume recovers its exact slope and
     intercept; a single-day type reports slope 0 and the day's count."""
