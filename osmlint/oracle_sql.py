@@ -1214,6 +1214,28 @@ SELECT lang, unnest({qlist}) AS q,
 FROM t GROUP BY lang ORDER BY lang, q"""
 
 
+def corpus_weighted_sample_sql(k: int) -> str:
+    """Efraimidis-Spirakis priority sample, priorities recomputed from
+    the same md5-derived u32 (``'0x' || hex`` cast), ln(u)/weight
+    floor-rounded to 6 dp before ranking, ties doc_id asc."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+         (CAST(concat('0x', substr(md5('w:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS UBIGINT) + 1)
+           / 4294967296.0 AS u
+  FROM documents
+), keyed AS (
+  SELECT doc_id, weight,
+         floor(ln(u) / weight * 1e6 + 0.5) / 1e6 AS skey
+  FROM t
+)
+SELECT doc_id, weight, skey, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id) AS rn
+      FROM keyed)
+WHERE rn <= {k} ORDER BY rank"""
+
+
 def corpus_redact_sql(patterns: tuple) -> str:
     """Chained regexp_replace mirroring the Ray-side pattern order; each
     pattern's match count is taken on the PREVIOUS pattern's output."""

@@ -397,6 +397,11 @@ def bm25_topk(sf_dir: str):
     return textops.bm25_topk(sf_dir)
 
 
+def corpus_weighted_sample(sf_dir: str):
+    from . import textops
+    return textops.corpus_weighted_sample(sf_dir)
+
+
 def corpus_filter(sf_dir: str):
     from . import textops
     return textops.corpus_filter(sf_dir)
@@ -673,6 +678,7 @@ def ray_queries() -> dict:
         "bm25_topk": bm25_topk,
         "pq_encode": pq_encode,
         "pq_topk_adc": pq_topk_adc,
+        "corpus_weighted_sample": corpus_weighted_sample,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -849,6 +855,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "bm25_topk": oracle_sql.bm25_topk_sql(
             _textops().BM25_QUERIES, _textops().BM25_K1,
             _textops().BM25_B, _textops().BM25_TOP),
+        "corpus_weighted_sample": oracle_sql.corpus_weighted_sample_sql(
+            _textops().WEIGHTED_SAMPLE_K),
         "corpus_filter": oracle_sql.CORPUS_FILTER_SQL,
         "corpus_stats": oracle_sql.CORPUS_STATS_SQL,
         "embedding_quantize": oracle_sql.EMBEDDING_QUANTIZE_SQL,

@@ -3132,3 +3132,51 @@ def winnow_dup_pairs(sf_dir: str, tau: float = WINNOW_PAIR_TAU,
                              "doc_b": pd.Series(dtype=np.int64),
                              "fp_jaccard": pd.Series(dtype=np.float64)})
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (deterministic priority sample)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 50
+
+
+def corpus_weighted_sample(sf_dir: str,
+                           k: int = WEIGHTED_SAMPLE_K) -> pd.DataFrame:
+    """Weight-proportional sample of ``k`` docs without replacement
+    (Efraimidis & Spirakis, IPL 2006: draw u~U(0,1] per item, keep the
+    top-k by u^(1/w) — here the rank-equivalent ln(u)/w).  u is
+    DETERMINISTIC — ``md5('w:' + doc_id)`` first-8-hex as a u32, the
+    split/sample family's convention (the 'w:' prefix decorrelates it
+    from both) — so the sample is reproducible across runs and engines
+    and the oracle can recompute it exactly.  Weight = n_chars: longer
+    docs proportionally likelier, the standard token-budget sampler.
+
+    Distributed shape: a doc's priority needs nothing but its own row,
+    so each block keeps only its local top-k (6-dp floor-rounded BEFORE
+    ranking, ties doc_id asc) and the driver merges #blocks x k
+    candidate rows — no shuffle, no global sort."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64), 1)
+        u32 = np.array([int(hashlib.md5(f"w:{i}".encode())
+                            .hexdigest()[:8], 16) for i in ids],
+                       dtype=np.float64)
+        u = (u32 + 1.0) / 4294967296.0          # (0, 1], exact in float64
+        skey = np.floor(np.log(u) / w * 1e6 + 0.5) / 1e6
+        head = np.lexsort((ids, -skey))[:k]
+        return pa.table({"doc_id": pa.array(ids[head]),
+                         "weight": pa.array(w[head]),
+                         "skey": pa.array(skey[head],
+                                          type=pa.float64())})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["skey", "doc_id"], ascending=[False, True],
+                            kind="stable").head(k).copy()
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand.reset_index(drop=True)

@@ -774,3 +774,24 @@ def test_bm25_topk_tie_and_k_cut(tmp_path, ray_session):
     out = textops.bm25_topk(d, queries={0: ("x",)}, top=3)
     assert list(out["doc_id"]) == [1, 3, 5]
     assert out["score"].nunique() == 1
+
+
+def test_corpus_weighted_sample_brute_force(ray_session):
+    """The distributed per-block top-k merge equals the brute-force
+    priority ranking computed in one flat pass; k > n returns all."""
+    import hashlib
+
+    import numpy as np
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    w = np.maximum(docs["n_chars"].to_numpy(np.int64), 1)
+    u32 = np.array([int(hashlib.md5(f"w:{i}".encode()).hexdigest()[:8], 16)
+                    for i in docs["doc_id"]], dtype=np.float64)
+    skey = np.floor(np.log((u32 + 1) / 2**32) / w * 1e6 + 0.5) / 1e6
+    order = np.lexsort((docs["doc_id"].to_numpy(), -skey))
+    out = textops.corpus_weighted_sample(sf, k=20)
+    assert list(out["doc_id"]) == list(docs["doc_id"].to_numpy()[order][:20])
+    assert list(out["rank"]) == list(range(1, 21))
+    everything = textops.corpus_weighted_sample(sf, k=10**9)
+    assert len(everything) == len(docs)
