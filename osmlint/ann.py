@@ -1004,3 +1004,25 @@ def pq_topk_adc(sf_dir: str, k: int = 5, n_queries: int = 4,
     top["rank"] = top.groupby("query_id").cumcount().astype(np.int64) + 1
     return top[["query_id", "neighbor_id", "adist", "rank"]] \
         .reset_index(drop=True)
+
+
+def knn_pagerank(sf_dir: str, k: int = 5,
+                 damping: float = 0.85, iters: int = 10,
+                 small_threshold: int | None = None) -> pd.DataFrame:
+    """Vector-centrality scores: fixed-iteration PageRank over the exact
+    k-NN graph (hub embeddings score high — the classic graph-based
+    quality/representativeness signal over a corpus embedding space).
+    Edges come from the IVF fullprobe graph (exact by construction), the
+    closure from ``graph.pagerank``; scores are 6-dp floor-rounded at
+    the END (per-node in-sums are float, so intermediate rounding would
+    bake in reduction order)."""
+    from . import graph
+    e = knn_graph_ivf_fullprobe(sf_dir, k=k)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": e["vec_id"].to_numpy(np.int64),
+        "dst": e["neighbor_id"].to_numpy(np.int64)}))
+    kw = {} if small_threshold is None \
+        else {"small_threshold": small_threshold}
+    pr = graph.pagerank(edges, damping=damping, iters=iters, **kw)
+    pr["pagerank"] = np.floor(pr["pagerank"].to_numpy() * 1e6 + 0.5) / 1e6
+    return pr.rename(columns={"node": "vec_id"}).reset_index(drop=True)

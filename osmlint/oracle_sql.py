@@ -1900,6 +1900,44 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= {k} ORDER BY vec_id, rank"""
 
 
+def knn_pagerank_sql(k: int, damping: float, iters: int) -> str:
+    """Fixed-iteration PageRank over the exact k-NN graph: the power
+    update as a materialized CTE chain (one round per iteration, the
+    geo_clusters pattern), base/init/contribution terms mirrored against
+    the engine, scores floor-rounded to 6 dp at the end only."""
+    base = f"{1.0 - damping!r} / nn.n"
+    parts = [f"""
+s AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+edges AS MATERIALIZED (
+  SELECT vec_id AS src, neighbor_id AS dst
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM s)
+  WHERE rn <= {k}),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges
+           UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS val FROM nodes CROSS JOIN nn)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+c{t} AS (SELECT e.dst AS node,
+                sum({damping!r} * r.val / deg.outdeg) AS s
+         FROM edges e JOIN r{t - 1} r ON r.node = e.src
+         JOIN deg ON deg.src = e.src GROUP BY 1),
+r{t} AS MATERIALIZED (
+  SELECT n.node, {base} + coalesce(c.s, 0.0) AS val
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{t} c ON c.node = n.node)""")
+    return "WITH " + ",".join(parts) + f"""
+SELECT node AS vec_id, floor(val * 1e6 + 0.5) / 1e6 AS pagerank
+FROM r{iters} ORDER BY vec_id"""
+
+
 def events_anomalies_sql(z_thresh: float) -> str:
     """Per-type z-score outliers, population moments mirrored
     term-for-term (mean = s/n, std = sqrt(max(ss/n - mean^2, 0)) with

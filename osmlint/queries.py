@@ -342,6 +342,11 @@ def pq_topk_adc(sf_dir: str):
     return ann.pq_topk_adc(sf_dir)
 
 
+def knn_pagerank(sf_dir: str):
+    from . import ann
+    return ann.knn_pagerank(sf_dir)
+
+
 def repetition_stats(sf_dir: str):
     from . import textops
     return textops.repetition_stats(sf_dir)
@@ -679,6 +684,7 @@ def ray_queries() -> dict:
         "pq_encode": pq_encode,
         "pq_topk_adc": pq_topk_adc,
         "corpus_weighted_sample": corpus_weighted_sample,
+        "knn_pagerank": knn_pagerank,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -891,6 +897,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _ann().PQ_M, _ann().PQ_KSUB),
         "pq_topk_adc": oracle_sql.pq_topk_adc_sql(
             5, 4, _ann().PQ_M, _ann().PQ_KSUB),
+        "knn_pagerank": oracle_sql.knn_pagerank_sql(5, 0.85, 10),
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,

@@ -340,6 +340,48 @@ def test_events_anomalies_zscore(tmp_path, ray_session):
     assert out["z"].iloc[0] > 3
 
 
+def test_pagerank_distributed_equals_local(ray_session):
+    """The per-iteration join+bucket-sum path reproduces the vectorized
+    local power loop to 6-dp (the comparison grain the operator
+    documents), and basic mass invariants hold."""
+    import numpy as np
+
+    from osmlint import ann
+    sf = "/root/testdata/sf0.001"
+    local = ann.knn_pagerank(sf)
+    dist = ann.knn_pagerank(sf, small_threshold=0)
+    assert list(local["vec_id"]) == list(dist["vec_id"])
+    assert np.array_equal(local["pagerank"].to_numpy(),
+                          dist["pagerank"].to_numpy())
+    n = len(local)
+    pr = local["pagerank"].to_numpy()
+    assert (pr >= (1 - 0.85) / n - 1e-6).all()   # baseline floor
+    # dangling mass only leaks; each 6-dp rounding adds up to 5e-7
+    assert pr.sum() <= 1.0 + n * 5e-7
+
+
+def test_pagerank_star_graph_closed_form(ray_session):
+    """On a star (every leaf -> hub, hub -> one leaf), leaf and hub
+    ranks follow the closed-form recurrence."""
+    import numpy as np
+    import ray.data as rd
+
+    from osmlint import graph
+    leaves = list(range(1, 6))
+    edges = pd.DataFrame({"src": leaves + [0],
+                          "dst": [0] * len(leaves) + [1]})
+    out = graph.pagerank(rd.from_pandas(edges), iters=10) \
+        .set_index("node")["pagerank"]
+    n, d = 6, 0.85
+    r = {v: 1 / n for v in range(n)}
+    for _ in range(10):
+        hub = (1 - d) / n + d * sum(r[v] for v in leaves)
+        leaf1 = (1 - d) / n + d * r[0]
+        r = {0: hub, 1: leaf1, **{v: (1 - d) / n for v in leaves[1:]}}
+    for v in range(n):
+        assert abs(out.loc[v] - r[v]) < 1e-9
+
+
 def test_pq_encode_and_adc_invariants(ray_session):
     """Codes stay in [0, KSUB); a codebook vector encodes to itself in
     every subspace (zero quantization error), so its ADC distance to any
