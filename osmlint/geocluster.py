@@ -333,3 +333,76 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
             "cluster_size": b["n"].cast(pa.int64())})
 
     return out.map_batches(decode, batch_format="pyarrow")
+
+
+_STATS_SCHEMA = pa.schema([
+    ("cluster_id", pa.int64()), ("n_points", pa.int64()),
+    ("n_core", pa.int64()),
+    ("centroid_lat", pa.float64()), ("centroid_lon", pa.float64()),
+    ("lat_min", pa.float64()), ("lat_max", pa.float64()),
+    ("lon_min", pa.float64()), ("lon_max", pa.float64())])
+
+
+def geo_cluster_stats(data_dir: str, *, map_slug: str = "serbia_pbf",
+                      eps_km: float = EPS_KM, min_pts: int = MIN_PTS,
+                      res: int = RES,
+                      group_res: int = GROUP_RES) -> pd.DataFrame:
+    """Per-cluster summary of the DBSCAN agglomerations — point/core
+    counts, centroid and exact bounding box (the settlement-region
+    digest a map product ships instead of raw members).
+
+    Composition shape: ``geo_clusters`` members re-encode to int64
+    nodes and join the (node, lat, lon) projection (both distributed);
+    a cluster-hash bucket reduce computes all moments in one pass (every
+    member of a cluster lands in one bucket, so in-bucket aggregation is
+    final) — the driver sees #clusters rows.  Centroids are sum/count
+    6-dp floor-rounded; bbox edges pass coordinates through untouched."""
+    members = geo_clusters(data_dir, map_slug=map_slug, eps_km=eps_km,
+                           min_pts=min_pts, res=res, group_res=group_res)
+    members = members.materialize()
+    if members.count() == 0:
+        return _STATS_SCHEMA.empty_table().to_pandas()
+
+    def encode(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        code = df["entity_type"].map(_ETYPE_CODE).to_numpy(np.int64)
+        return pa.table({
+            "node": pa.array(df["osm_id"].to_numpy(np.int64) * 4 + code),
+            "cluster_id": pa.array(df["cluster_id"].to_numpy(np.int64)),
+            "is_core": pa.array(df["is_core"].to_numpy(bool))})
+
+    points = named_ctv_deduped(data_dir, map_slug=map_slug) \
+        .map_batches(_to_nodes, batch_format="pyarrow")
+    n_members = members.count()
+    np_ = max(1, min(8, n_members // 50_000 + 1))
+    j = members.map_batches(encode, batch_format="pyarrow") \
+        .join(points, "inner", np_, on=("node",), right_on=("node",))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        c = b["cluster_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_mb", pa.array(_bucket_of(c)))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("cluster_id", sort=False).agg(
+            n_points=("node", "size"), n_core=("is_core", "sum"),
+            s_lat=("lat", "sum"), s_lon=("lon", "sum"),
+            lat_min=("lat", "min"), lat_max=("lat", "max"),
+            lon_min=("lon", "min"), lon_max=("lon", "max")).reset_index()
+        n = d["n_points"].to_numpy(np.int64)
+        return pa.table({
+            "cluster_id": pa.array(d["cluster_id"].to_numpy(np.int64)),
+            "n_points": pa.array(n),
+            "n_core": pa.array(d["n_core"].to_numpy(np.int64)),
+            "centroid_lat": pa.array(np.floor(
+                d["s_lat"].to_numpy() / n * 1e6 + 0.5) / 1e6),
+            "centroid_lon": pa.array(np.floor(
+                d["s_lon"].to_numpy() / n * 1e6 + 0.5) / 1e6),
+            "lat_min": pa.array(d["lat_min"].to_numpy(np.float64)),
+            "lat_max": pa.array(d["lat_max"].to_numpy(np.float64)),
+            "lon_min": pa.array(d["lon_min"].to_numpy(np.float64)),
+            "lon_max": pa.array(d["lon_max"].to_numpy(np.float64))})
+
+    out = j.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(combine, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("cluster_id").reset_index(drop=True)

@@ -2101,20 +2101,11 @@ WHERE rn <= {k} ORDER BY query_id, rank"""
 # geo_clusters oracle (DBSCAN over named-CTV points)
 # ---------------------------------------------------------------------------
 
-def geo_clusters_sql(d: str, eps_km: float, min_pts: int,
-                     rounds: int = 48) -> str:
-    """DBSCAN: eps-pairs via a lat-band IEJoin prefilter (|dlat deg| <=
-    eps/111.0 is a strict superset of hav <= eps, since 1 deg lat >=
-    111.195 km) + exact haversine gate; degree -> core set; connected
-    components of the core-core graph as a FIXED-ROUND alternating
-    min-propagation + pointer-jump CTE chain (AS MATERIALIZED breaks the
-    exponential CTE-inlining blowup; ``rounds`` = 48 vs a measured 29 to
-    converge at sf0.01 and 34 at sf0.1 (53,573 cores / 324 clusters) —
-    growth is sub-linear in scale because the jump step halves chain
-    depth, extra rounds past convergence are no-ops, and the in-repo
-    parity tests pin agreement at both gate scales); border
-    points take the MINIMUM core-neighbor label (the deterministic
-    variant the engine implements)."""
+def _geo_clusters_members_with(d: str, eps_km: float, min_pts: int,
+                               rounds: int) -> str:
+    """Shared WITH-body through the ``members``/``named`` CTEs —
+    ``geo_clusters_sql`` decodes members, ``geo_cluster_stats_sql``
+    aggregates them per cluster."""
     hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
     band = eps_km / 111.0
     parts = [f"""
@@ -2166,7 +2157,24 @@ members AS (SELECT node, l AS cluster_id, TRUE AS is_core
             FROM lab{rounds}
             UNION ALL
             SELECT node, cl AS cluster_id, FALSE AS is_core FROM border)""")
-    return "WITH " + ",".join(parts) + """
+    return "WITH " + ",".join(parts)
+
+
+def geo_clusters_sql(d: str, eps_km: float, min_pts: int,
+                     rounds: int = 48) -> str:
+    """DBSCAN: eps-pairs via a lat-band IEJoin prefilter (|dlat deg| <=
+    eps/111.0 is a strict superset of hav <= eps, since 1 deg lat >=
+    111.195 km) + exact haversine gate; degree -> core set; connected
+    components of the core-core graph as a FIXED-ROUND alternating
+    min-propagation + pointer-jump CTE chain (AS MATERIALIZED breaks the
+    exponential CTE-inlining blowup; ``rounds`` = 48 vs a measured 29 to
+    converge at sf0.01 and 34 at sf0.1 (53,573 cores / 324 clusters) —
+    growth is sub-linear in scale because the jump step halves chain
+    depth, extra rounds past convergence are no-ops, and the in-repo
+    parity tests pin agreement at both gate scales); border
+    points take the MINIMUM core-neighbor label (the deterministic
+    variant the engine implements)."""
+    return _geo_clusters_members_with(d, eps_km, min_pts, rounds) + """
 SELECT CAST(node // 4 AS BIGINT) AS osm_id,
        CASE node % 4 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
             ELSE 'relation' END AS entity_type,
@@ -2174,6 +2182,25 @@ SELECT CAST(node // 4 AS BIGINT) AS osm_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
            AS cluster_size
 FROM members ORDER BY osm_id, entity_type"""
+
+
+def geo_cluster_stats_sql(d: str, eps_km: float, min_pts: int,
+                          rounds: int = 48) -> str:
+    """Per-cluster aggregation of the DBSCAN members: point/core counts,
+    exact bounding box (min/max pass coordinates through untouched) and
+    the centroid as sum/count mirrored against the engine's moment
+    reduce, 6-dp floor-rounded."""
+    return _geo_clusters_members_with(d, eps_km, min_pts, rounds) + """
+SELECT m.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN m.is_core THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+       floor(sum(p.lat) / count(*) * 1e6 + 0.5) / 1e6 AS centroid_lat,
+       floor(sum(p.lon) / count(*) * 1e6 + 0.5) / 1e6 AS centroid_lon,
+       min(p.lat) AS lat_min, max(p.lat) AS lat_max,
+       min(p.lon) AS lon_min, max(p.lon) AS lon_max
+FROM members m JOIN named p ON p.node = m.node
+GROUP BY 1 ORDER BY 1"""
 
 
 def dedup_cosine_clusters_sql(tau: float) -> str:

@@ -480,6 +480,13 @@ def geo_clusters(sf_dir: str) -> rd.Dataset:
     return geocluster.geo_clusters(_synth(sf_dir))
 
 
+def geo_cluster_stats(sf_dir: str):
+    """Per-cluster digest of the DBSCAN agglomerations: counts, centroid
+    and exact bbox via one cluster-bucketed moment reduce."""
+    from . import geocluster
+    return geocluster.geo_cluster_stats(_synth(sf_dir))
+
+
 def ann_topk_ivf(sf_dir: str):
     from . import ann
     return ann.topk_neighbors_ivf(sf_dir, k=ANN_K, n_queries=ANN_NQ)
@@ -685,6 +692,7 @@ def ray_queries() -> dict:
         "pq_topk_adc": pq_topk_adc,
         "corpus_weighted_sample": corpus_weighted_sample,
         "knn_pagerank": knn_pagerank,
+        "geo_cluster_stats": geo_cluster_stats,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -879,6 +887,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "embedding_kmeans_1iter": oracle_sql.kmeans_1iter_sql(
             _ann().KMEANS_K),
         "geo_clusters": oracle_sql.geo_clusters_sql(
+            d, _geocluster().EPS_KM, _geocluster().MIN_PTS),
+        "geo_cluster_stats": oracle_sql.geo_cluster_stats_sql(
             d, _geocluster().EPS_KM, _geocluster().MIN_PTS),
         "ann_topk": oracle_sql.ann_topk_sql(ANN_K, ANN_NQ),
         # full-probe IVF == exact top-k by construction: every list is

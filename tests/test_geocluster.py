@@ -104,3 +104,22 @@ def test_distributed_paths_agree(result):
     finally:
         geocluster.BROADCAST_MAX = old
     pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+
+def test_geo_cluster_stats_invariants(result):
+    """Stats rows aggregate the members exactly: counts match the
+    member table, centroids sit inside the bbox, bbox spans <= 2*eps
+    chains are not asserted (clusters chain arbitrarily) but every core
+    count is positive (a cluster IS its core set)."""
+    d, got = result
+    stats = geocluster.geo_cluster_stats(d)
+    bycl = got.groupby("cluster_id")
+    assert set(stats["cluster_id"]) == set(got["cluster_id"].unique())
+    for _, r in stats.iterrows():
+        g = bycl.get_group(r["cluster_id"])
+        assert r["n_points"] == len(g)
+        assert r["n_core"] == int(g["is_core"].sum())
+        assert r["n_core"] >= 1
+        assert r["lat_min"] <= r["centroid_lat"] <= r["lat_max"]
+        assert r["lon_min"] <= r["centroid_lon"] <= r["lon_max"]
+    assert stats["n_points"].sum() == len(got)
