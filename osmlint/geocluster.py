@@ -64,9 +64,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from . import geo, graph
+from . import caches, geo, graph
 from .dupnames import named_ctv_deduped
 from .pipeline import to_arrow
+
+#: process-lifetime cache of the MATERIALIZED cluster-member table —
+#: ``geo_clusters`` and ``geo_cluster_stats`` run back-to-back in the
+#: driver's sweep and share the whole DBSCAN lineage; fingerprint-keyed
+#: like the named-CTV projection cache.
+_MEMBERS_CACHE: dict = caches.register({})
 
 EPS_KM = 0.5
 MIN_PTS = 4
@@ -189,7 +195,15 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
     """DBSCAN over the deduped named-CTV points of one map shard ->
     ``(osm_id, entity_type, cluster_id, is_core, cluster_size)`` for
     clustered points (noise dropped); ``cluster_id`` is the minimum
-    CORE member's node encoding."""
+    CORE member's node encoding.  The materialized result is cached for
+    the process lifetime (fingerprint-keyed) — ``geo_cluster_stats``
+    shares the whole DBSCAN lineage."""
+    import os
+    shard = os.path.join(data_dir, "docs", f"map={map_slug}")
+    ckey = (shard, caches.path_fingerprint(shard), map_slug,
+            eps_km, min_pts, res, group_res)
+    if ckey in _MEMBERS_CACHE:
+        return _MEMBERS_CACHE[ckey]
     points = named_ctv_deduped(data_dir, map_slug=map_slug) \
         .map_batches(_to_nodes, batch_format="pyarrow")
     pairs = points.map_batches(
@@ -200,7 +214,9 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
             fn_kwargs={"eps_km": eps_km}) \
         .materialize()
     if pairs.count() == 0:
-        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+        out = rd.from_arrow(_OUT_SCHEMA.empty_table())
+        _MEMBERS_CACHE[ckey] = out
+        return out
 
     deg = _count_reduce(pairs.map_batches(_endpoints,
                                           batch_format="pyarrow"),
@@ -210,7 +226,9 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
         .select(["node"]), batch_format="pyarrow").materialize()
     n_core = core.count()
     if n_core == 0:
-        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+        out = rd.from_arrow(_OUT_SCHEMA.empty_table())
+        _MEMBERS_CACHE[ckey] = out
+        return out
 
     # --- core flags on pairs: broadcast membership or distributed joins
     if n_core <= BROADCAST_MAX:
@@ -332,7 +350,10 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
             "is_core": b["is_core"].cast(pa.bool_()),
             "cluster_size": b["n"].cast(pa.int64())})
 
-    return out.map_batches(decode, batch_format="pyarrow")
+    res_ds = out.map_batches(decode,
+                             batch_format="pyarrow").materialize()
+    _MEMBERS_CACHE[ckey] = res_ds
+    return res_ds
 
 
 _STATS_SCHEMA = pa.schema([
