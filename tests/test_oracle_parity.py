@@ -96,3 +96,44 @@ def test_events_oracle_parity_sf01(ray_session, name):
     assert list(g.columns) == list(e.columns)
     assert len(g) == len(e) and len(g) > 0
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions over the raw driver tables: parity at sf0.1 (10x the
+# driver gate — per-batch top-k merges, stats passes and the pagerank
+# closure all cross block boundaries here)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not __import__("os").path.exists(_EVENTS_SF01),
+                    reason="no sf0.1 data")
+@pytest.mark.parametrize("name", [
+    "bm25_topk", "corpus_weighted_sample", "pq_encode", "pq_topk_adc",
+    "knn_pagerank"])
+def test_r4_ops_oracle_parity_sf01(ray_session, name):
+    import duckdb
+
+    from osmlint import ann, oracle_sql, textops
+    from osmlint import queries as qmod
+    got = qmod.ray_queries()[name](_EVENTS_SF01)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{_EVENTS_SF01}/{t}.parquet')")
+    sql = {
+        "bm25_topk": oracle_sql.bm25_topk_sql(
+            textops.BM25_QUERIES, textops.BM25_K1, textops.BM25_B,
+            textops.BM25_TOP),
+        "corpus_weighted_sample": oracle_sql.corpus_weighted_sample_sql(
+            textops.WEIGHTED_SAMPLE_K),
+        "pq_encode": oracle_sql.pq_encode_sql(ann.PQ_M, ann.PQ_KSUB),
+        "pq_topk_adc": oracle_sql.pq_topk_adc_sql(
+            5, 4, ann.PQ_M, ann.PQ_KSUB),
+        "knn_pagerank": oracle_sql.knn_pagerank_sql(5, 0.85, 10),
+    }[name]
+    exp = con.execute(sql).df()
+    g, e = _events_canon(got), _events_canon(exp)
+    assert list(g.columns) == list(e.columns)
+    assert len(g) == len(e) and len(g) > 0
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
