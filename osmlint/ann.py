@@ -673,7 +673,7 @@ def _empty_knn_parts() -> pa.Table:
 
 
 def knn_graph_ivf(sf_dir: str, k: int = 5, n_lists: int = IVF_K,
-                  nprobe: int = IVF_NPROBE) -> pd.DataFrame:
+                  nprobe: int = IVF_NPROBE, as_dataset: bool = False):
     """Approximate k-NN graph over ALL vectors through the IVF index —
     the scale path ``knn_graph`` (exact, O(N^2)-guarded at
     ``MAX_EXACT_PAIR_ROWS``) deliberately refuses to be.
@@ -759,8 +759,12 @@ def knn_graph_ivf(sf_dir: str, k: int = 5, n_lists: int = IVF_K,
         .map_batches(route, batch_format="pyarrow") \
         .groupby("list").map_groups(search, batch_format="pandas") \
         .map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("mb").map_groups(reduce_topk, batch_format="pandas") \
-        .to_pandas()
+        .groupby("mb").map_groups(reduce_topk, batch_format="pandas")
+    if as_dataset:
+        # downstream graph consumers (knn_pagerank) keep the N*k edge
+        # table distributed — it never visits the driver
+        return df
+    df = df.to_pandas()
     if df.empty:
         return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
                              "neighbor_id": pd.Series(dtype=np.int64),
@@ -1017,10 +1021,14 @@ def knn_pagerank(sf_dir: str, k: int = 5,
     the END (per-node in-sums are float, so intermediate rounding would
     bake in reduction order)."""
     from . import graph
-    e = knn_graph_ivf_fullprobe(sf_dir, k=k)
-    edges = rd.from_pandas(pd.DataFrame({
-        "src": e["vec_id"].to_numpy(np.int64),
-        "dst": e["neighbor_id"].to_numpy(np.int64)}))
+    # fullprobe (nprobe == n_lists) == exact graph; as_dataset keeps the
+    # N*k edge table distributed — it never visits the driver
+    e = knn_graph_ivf(sf_dir, k=k, n_lists=IVF_K, nprobe=IVF_K,
+                      as_dataset=True)
+    edges = e.map_batches(
+        lambda b: pa.table({"src": b["vec_id"].cast(pa.int64()),
+                            "dst": b["neighbor_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
     kw = {} if small_threshold is None \
         else {"small_threshold": small_threshold}
     pr = graph.pagerank(edges, damping=damping, iters=iters, **kw)
