@@ -102,3 +102,53 @@ def test_malformed_doc_ids_dropped():
     out = spans.decode_batch(t)
     assert out.num_rows == 2
     assert sorted(out["osm_id"].to_pylist()) == [1, 2]
+
+
+# --- PageRank kernel (graph._pr_local, pure numpy) -------------------------
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=60)
+
+
+@given(edge_st)
+@settings(max_examples=60, deadline=None)
+def test_pagerank_mass_conserved_without_dangling(pairs):
+    """When every node has an out-edge, total rank mass is exactly
+    conserved at 1 each iteration: sum r' = (1-d) + d * sum r."""
+    from osmlint.graph import _pr_local
+    src = np.array([a for a, _ in pairs] + [b for _, b in pairs],
+                   dtype=np.int64)
+    dst = np.array([b for _, b in pairs] + [a for a, _ in pairs],
+                   dtype=np.int64)
+    # symmetrized: every endpoint is a source, so no dangling nodes
+    out = _pr_local(src, dst, damping=0.85, iters=10)
+    assert abs(out["pagerank"].sum() - 1.0) < 1e-9
+    assert (out["pagerank"] > 0).all()
+
+
+@given(st.integers(2, 12))
+@settings(max_examples=20, deadline=None)
+def test_pagerank_complete_graph_uniform(n):
+    """The complete graph is vertex-transitive: every node holds exactly
+    1/n at every iteration."""
+    from osmlint.graph import _pr_local
+    src, dst = zip(*[(i, j) for i in range(n) for j in range(n) if i != j])
+    out = _pr_local(np.array(src), np.array(dst), damping=0.85, iters=7)
+    assert np.allclose(out["pagerank"].to_numpy(), 1.0 / n, atol=1e-12)
+
+
+# --- PQ assignment kernel (ann._pq_assign, pure numpy) ---------------------
+
+@given(st.integers(0, 7), st.integers(2, 8))
+@settings(max_examples=30, deadline=None)
+def test_pq_assign_centroid_self_identity(j, ksub):
+    """A vector equal to codebook centroid j in every subspace encodes
+    to j everywhere (zero distance beats any distinct random centroid)."""
+    from osmlint.ann import _pq_assign
+    rng = np.random.default_rng(42 + j * 100 + ksub)
+    j = j % ksub
+    cb = rng.normal(size=(4, ksub, 8))
+    vec = cb[:, j, :].reshape(1, 32)
+    codes = _pq_assign(vec, cb)
+    assert (codes == j).all()
