@@ -781,7 +781,14 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
       SQL-expressible; assignment optimality, partition totality and
       determinism are pytest-asserted instead.  Its assign/reduce
       machinery carries the hard ``embedding_kmeans_1iter`` oracle (one
-      Lloyd step IS SQL-expressible)."""
+      Lloyd step IS SQL-expressible).
+    * ``distinct_token_counts_hll`` — rows-only: HyperLogLog is
+      genuinely approximate; the <3% error band, merge associativity
+      and determinism are pytest-asserted, and the exact sibling
+      ``distinct_token_counts`` carries the hard COUNT(DISTINCT)
+      oracle.  The other sketch paths (``vocab_topk_mg`` Misra-Gries,
+      ``decontaminate_bloom``) are certificate-/verify-exact and keep
+      their hard oracles."""
     d = _synth(sf_dir)
     return {
         "lint_flags": oracle_sql.lint_flags_sql(d),
