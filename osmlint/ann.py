@@ -1034,3 +1034,59 @@ def knn_pagerank(sf_dir: str, k: int = 5,
     pr = graph.pagerank(edges, damping=damping, iters=iters, **kw)
     pr["pagerank"] = np.floor(pr["pagerank"].to_numpy() * 1e6 + 0.5) / 1e6
     return pr.rename(columns={"node": "vec_id"}).reset_index(drop=True)
+
+
+def source_embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """Cross-table quality rollup: per document source, the count, mean
+    and max L2 norm of its docs' embeddings — the large x large
+    distributed equi-join at the query surface (embedding norms join
+    document metadata on ``doc_id == vec_id``).
+
+    Shape: both sides are pruned to two narrow columns at the read —
+    (vec_id, norm) and (doc_id, source) — before a distributed hash
+    join (NO broadcast: at 10^12 rows both sides are big), then one
+    bounded source-hash bucket reduce; the driver sees #sources rows.
+    mean is sum/count 6-dp floor-rounded; max passes the norm through
+    (rounded the same way for a stable compare)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_vecs = pq.read_metadata(path).num_rows
+
+    def norm_batch(batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        return pa.table({"vec_id": pa.array(ids),
+                         "nrm": pa.array(np.sqrt((m * m).sum(axis=1)))})
+
+    norms = read_embeddings(sf_dir).map_batches(norm_batch,
+                                                batch_format="pyarrow")
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+    np_ = max(1, min(16, n_vecs // 200_000 + 1))
+    j = norms.join(docs, "inner", np_, on=("vec_id",),
+                   right_on=("doc_id",))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        s = b["source"].to_pandas().to_numpy(dtype=object)
+        mb = (pd.util.hash_array(s)
+              % np.uint64(256)).astype(np.int64)
+        return pa.table({"source": b["source"].cast(pa.string()),
+                         "nrm": b["nrm"].cast(pa.float64()),
+                         "_mb": pa.array(mb)})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("source", sort=False)["nrm"] \
+            .agg(n_docs="size", s="sum", mx="max").reset_index()
+        n = d["n_docs"].to_numpy(np.int64)
+        return pa.table({
+            "source": pa.array(d["source"].astype(str),
+                               type=pa.string()),
+            "n_docs": pa.array(n),
+            "mean_norm": pa.array(np.floor(
+                d["s"].to_numpy() / n * 1e6 + 0.5) / 1e6),
+            "max_norm": pa.array(np.floor(
+                d["mx"].to_numpy() * 1e6 + 0.5) / 1e6)})
+
+    out = j.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(combine, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("source").reset_index(drop=True)

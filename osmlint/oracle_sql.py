@@ -1900,6 +1900,19 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= {k} ORDER BY vec_id, rank"""
 
 
+SOURCE_EMBEDDING_NORMS_SQL = """
+WITH n AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       floor(sum(n.nrm) / count(*) * 1e6 + 0.5) / 1e6 AS mean_norm,
+       floor(max(n.nrm) * 1e6 + 0.5) / 1e6 AS max_norm
+FROM n JOIN documents d ON d.doc_id = n.vec_id
+GROUP BY 1 ORDER BY 1"""
+
+
 def knn_pagerank_sql(k: int, damping: float, iters: int) -> str:
     """Fixed-iteration PageRank over the exact k-NN graph: the power
     update as a materialized CTE chain (one round per iteration, the

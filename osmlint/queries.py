@@ -347,6 +347,13 @@ def knn_pagerank(sf_dir: str):
     return ann.knn_pagerank(sf_dir)
 
 
+def source_embedding_norms(sf_dir: str):
+    """Cross-table rollup: distributed embeddings x documents hash join
+    (no broadcast) -> per-source norm moments."""
+    from . import ann
+    return ann.source_embedding_norms(sf_dir)
+
+
 def repetition_stats(sf_dir: str):
     from . import textops
     return textops.repetition_stats(sf_dir)
@@ -693,6 +700,7 @@ def ray_queries() -> dict:
         "corpus_weighted_sample": corpus_weighted_sample,
         "knn_pagerank": knn_pagerank,
         "geo_cluster_stats": geo_cluster_stats,
+        "source_embedding_norms": source_embedding_norms,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -915,6 +923,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pq_topk_adc": oracle_sql.pq_topk_adc_sql(
             5, 4, _ann().PQ_M, _ann().PQ_KSUB),
         "knn_pagerank": oracle_sql.knn_pagerank_sql(5, 0.85, 10),
+        "source_embedding_norms": oracle_sql.SOURCE_EMBEDDING_NORMS_SQL,
         "events_window": oracle_sql.EVENTS_WINDOW_SQL,
         "events_sessionize": oracle_sql.EVENTS_SESSIONIZE_SQL,
         "events_asof_attribution": oracle_sql.EVENTS_ASOF_SQL,

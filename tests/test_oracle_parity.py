@@ -108,7 +108,7 @@ def test_events_oracle_parity_sf01(ray_session, name):
                     reason="no sf0.1 data")
 @pytest.mark.parametrize("name", [
     "bm25_topk", "corpus_weighted_sample", "pq_encode", "pq_topk_adc",
-    "knn_pagerank"])
+    "knn_pagerank", "source_embedding_norms"])
 def test_r4_ops_oracle_parity_sf01(ray_session, name):
     import duckdb
 
@@ -131,6 +131,7 @@ def test_r4_ops_oracle_parity_sf01(ray_session, name):
         "pq_topk_adc": oracle_sql.pq_topk_adc_sql(
             5, 4, ann.PQ_M, ann.PQ_KSUB),
         "knn_pagerank": oracle_sql.knn_pagerank_sql(5, 0.85, 10),
+        "source_embedding_norms": oracle_sql.SOURCE_EMBEDDING_NORMS_SQL,
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)
