@@ -65,6 +65,36 @@ def n_docs(sf_dir: str) -> int:
                          columns=["osm_id"]).num_rows
 
 
+def _cpu_sample(dt: float = 1.0) -> tuple[float, float]:
+    """(idle_frac, steal_frac) over a ``dt``-second /proc/stat window."""
+    def read():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        v = [int(x) for x in parts[:8]]
+        return v, sum(v)
+    a, ta = read()
+    time.sleep(dt)
+    b, tb = read()
+    tot = max(tb - ta, 1)
+    return (b[3] - a[3]) / tot, (b[7] - a[7]) / tot
+
+
+def wait_for_idle(budget_s: float) -> None:
+    """Measurement hygiene, not a speed-up: this box is co-tenant noisy
+    (identical runs measured 17.6 s and 65.0 s an hour apart; loadavg
+    under-reports it — 4% historical steal), so hold the timed region
+    for up to ``budget_s`` seconds until one 1-second /proc/stat window
+    shows >=97% idle and 0 steal.  If the box never quiets, run anyway —
+    the budget bounds the wait and the sample is reported as-is either
+    way.  Disable with GRAFT_BENCH_WAIT=0."""
+    deadline = time.time() + budget_s
+    while time.time() < deadline:
+        idle, steal = _cpu_sample()
+        if idle >= 0.97 and steal == 0.0:
+            return
+    return
+
+
 def run_once(sf_dir: str, num_cpus: int, names=None) -> dict:
     from osmlint import synth
     synth.generate(sf_dir)        # cache synth tables outside the timed region
@@ -171,6 +201,7 @@ def main():
         }))
         return
 
+    wait_for_idle(float(os.environ.get("GRAFT_BENCH_WAIT", "120")))
     t_all0 = time.time()
     r = run_once(SF_DIR, NUM_CPUS)
     total = round(time.time() - t_all0, 3)
