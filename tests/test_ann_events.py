@@ -605,3 +605,42 @@ def test_embedding_project_jl_property(ray_session):
     d1 = np.linalg.norm(p[idx[:, 0]] - p[idx[:, 1]], axis=1)
     ratio = d1 / np.maximum(d0, 1e-30)
     assert 0.8 < np.median(ratio) < 1.2
+
+
+def test_r4_ops_tiny_and_empty_edges(tmp_path, ray_session):
+    """Degenerate inputs: no query-term hits (BM25), sub-codebook-size
+    embeddings (PQ refuses loudly), single-row joins and single-event
+    trends all keep their schemas instead of crashing."""
+    import pyarrow.parquet as pq
+
+    from osmlint import ann, eventops, textops
+    d = tmp_path / "edge"
+    d.mkdir()
+    docs = pd.DataFrame({"doc_id": [1], "text": ["zzz qqq"],
+                         "lang": "en", "source": "s", "n_chars": 7})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = textops.bm25_topk(str(d), queries={0: ("missingword",)})
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "doc_id", "score", "rank"]
+    one = textops.corpus_weighted_sample(str(d), k=3)
+    assert list(one["doc_id"]) == [1] and list(one["rank"]) == [1]
+
+    emb = pd.DataFrame({"vec_id": [1],
+                        "embedding": [np.arange(64, dtype=np.float32)],
+                        "label": np.int32(0)})
+    pq.write_table(pa.Table.from_pandas(emb, preserve_index=False),
+                   str(d / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="codebook needs"):
+        ann.pq_encode(str(d))
+    norms = ann.source_embedding_norms(str(d))
+    assert list(norms["source"]) == ["s"] and norms["n_docs"].iloc[0] == 1
+
+    ev = pd.DataFrame({"event_id": [0], "ts": [pd.Timestamp("2024-01-05")],
+                       "user_id": [1], "event_type": ["click"],
+                       "value": [1.0], "props": ["{}"]})
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(d / "events.parquet"))
+    tr = eventops.daily_trend(str(d))
+    assert tr["slope"].iloc[0] == 0.0 and tr["intercept"].iloc[0] == 1.0
