@@ -189,19 +189,79 @@ def _endpoints(b: pa.Table) -> pa.Table:
     return pa.table({"node": pa.concat_arrays([a, d])})
 
 
+#: local-tail ceiling, same rationale and order as ``graph.SMALL_EDGES``:
+#: the eps-pair set is mined CANDIDATE volume (the same frame the pair
+#: queries hand the driver), so below this it closes in one vectorized
+#: numpy kernel instead of ~8 distributed stages of fixed cost.
+SMALL_PAIRS = graph.SMALL_EDGES
+
+
+def _local_members(df: pd.DataFrame, min_pts: int) -> pd.DataFrame:
+    """Vectorized DBSCAN tail on a collected eps-pair frame: degrees ->
+    core set -> core-core closure (``graph._local_components`` with core
+    self-loops) -> min-label border attach -> sizes.  Semantics are
+    IDENTICAL to the distributed tail (the dual-path test pins it)."""
+    a = df["doc_a"].to_numpy(np.int64)
+    b = df["doc_b"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    deg = np.bincount(inv, minlength=len(nodes))
+    core = deg >= (min_pts - 1)
+    if not core.any():
+        return _OUT_SCHEMA.empty_table().to_pandas()
+    core_ids = nodes[core]
+    m = core[ia] & core[ib]
+    comp = graph._local_components(
+        np.concatenate([nodes[ia[m]], core_ids]),
+        np.concatenate([nodes[ib[m]], core_ids]))
+    lab = comp.set_index("doc_id")["cluster_id"]
+    members = pd.DataFrame({"node": core_ids,
+                            "cluster_id": lab.loc[core_ids].to_numpy(),
+                            "is_core": True})
+    mx = core[ia] ^ core[ib]
+    if mx.any():
+        x = np.where(core[ia[mx]], ib[mx], ia[mx])     # non-core endpoint
+        c = np.where(core[ia[mx]], ia[mx], ib[mx])     # core endpoint
+        border = pd.DataFrame({
+            "node": nodes[x],
+            "cluster_id": lab.loc[nodes[c]].to_numpy()}) \
+            .groupby("node", sort=False)["cluster_id"].min().reset_index()
+        border["is_core"] = False
+        members = pd.concat([members, border], ignore_index=True)
+    sizes = members["cluster_id"].value_counts()
+    out = pd.DataFrame({
+        "osm_id": members["node"].to_numpy(np.int64) // 4,
+        "entity_type": _ETYPE_NAME[members["node"].to_numpy(np.int64) % 4],
+        "cluster_id": members["cluster_id"].to_numpy(np.int64),
+        "is_core": members["is_core"].to_numpy(bool),
+        "cluster_size": sizes.loc[members["cluster_id"]]
+        .to_numpy(np.int64)})
+    return out.sort_values(["osm_id", "entity_type"]).reset_index(drop=True)
+
+
 def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
                  eps_km: float = EPS_KM, min_pts: int = MIN_PTS,
-                 res: int = RES, group_res: int = GROUP_RES) -> rd.Dataset:
+                 res: int = RES, group_res: int = GROUP_RES,
+                 small_threshold: int | None = None) -> rd.Dataset:
     """DBSCAN over the deduped named-CTV points of one map shard ->
     ``(osm_id, entity_type, cluster_id, is_core, cluster_size)`` for
     clustered points (noise dropped); ``cluster_id`` is the minimum
     CORE member's node encoding.  The materialized result is cached for
     the process lifetime (fingerprint-keyed) — ``geo_cluster_stats``
-    shares the whole DBSCAN lineage."""
+    shares the whole DBSCAN lineage.
+
+    Hybrid tail, same thresholds as ``graph.cluster_labels``: at or
+    under ``small_threshold`` eps-pairs the degree/core/closure/border
+    chain runs as ONE vectorized numpy kernel on the collected pair
+    frame; above it the fully distributed path below takes over
+    (``small_threshold=0`` forces it — the dual-path test compares
+    both)."""
     import os
     shard = os.path.join(data_dir, "docs", f"map={map_slug}")
+    if small_threshold is None:
+        small_threshold = SMALL_PAIRS
     ckey = (shard, caches.path_fingerprint(shard), map_slug,
-            eps_km, min_pts, res, group_res)
+            eps_km, min_pts, res, group_res, small_threshold == 0)
     if ckey in _MEMBERS_CACHE:
         return _MEMBERS_CACHE[ckey]
     points = named_ctv_deduped(data_dir, map_slug=map_slug) \
@@ -213,8 +273,15 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
             _pairs_in_group, batch_format="pandas",
             fn_kwargs={"eps_km": eps_km}) \
         .materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         out = rd.from_arrow(_OUT_SCHEMA.empty_table())
+        _MEMBERS_CACHE[ckey] = out
+        return out
+    if n_pairs <= small_threshold:
+        mem = _local_members(pairs.to_pandas(), min_pts)
+        out = rd.from_arrow(_OUT_SCHEMA.empty_table()) if mem.empty \
+            else rd.from_pandas(mem).materialize()
         _MEMBERS_CACHE[ckey] = out
         return out
 
@@ -377,7 +444,10 @@ def geo_cluster_stats(data_dir: str, *, map_slug: str = "serbia_pbf",
     a cluster-hash bucket reduce computes all moments in one pass (every
     member of a cluster lands in one bucket, so in-bucket aggregation is
     final) — the driver sees #clusters rows.  Centroids are sum/count
-    6-dp floor-rounded; bbox edges pass coordinates through untouched."""
+    6-dp floor-rounded; bbox edges pass coordinates through untouched.
+    A member table at or under the ``SMALL_PAIRS`` collect budget skips
+    the distributed join and aggregates in one pandas merge (the same
+    hybrid rule as the clustering tail; identical arithmetic)."""
     members = geo_clusters(data_dir, map_slug=map_slug, eps_km=eps_km,
                            min_pts=min_pts, res=res, group_res=group_res)
     members = members.materialize()
@@ -395,6 +465,33 @@ def geo_cluster_stats(data_dir: str, *, map_slug: str = "serbia_pbf",
     points = named_ctv_deduped(data_dir, map_slug=map_slug) \
         .map_batches(_to_nodes, batch_format="pyarrow")
     n_members = members.count()
+    if n_members <= SMALL_PAIRS:
+        mem = members.to_pandas()
+        code = mem["entity_type"].map(_ETYPE_CODE).to_numpy(np.int64)
+        mem = pd.DataFrame({
+            "node": mem["osm_id"].to_numpy(np.int64) * 4 + code,
+            "cluster_id": mem["cluster_id"].to_numpy(np.int64),
+            "is_core": mem["is_core"].to_numpy(bool)})
+        g = mem.merge(points.to_pandas(), on="node")
+        d = g.groupby("cluster_id", sort=False).agg(
+            n_points=("node", "size"), n_core=("is_core", "sum"),
+            s_lat=("lat", "sum"), s_lon=("lon", "sum"),
+            lat_min=("lat", "min"), lat_max=("lat", "max"),
+            lon_min=("lon", "min"), lon_max=("lon", "max")).reset_index()
+        n = d["n_points"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "cluster_id": d["cluster_id"].to_numpy(np.int64),
+            "n_points": n,
+            "n_core": d["n_core"].to_numpy(np.int64),
+            "centroid_lat": np.floor(
+                d["s_lat"].to_numpy() / n * 1e6 + 0.5) / 1e6,
+            "centroid_lon": np.floor(
+                d["s_lon"].to_numpy() / n * 1e6 + 0.5) / 1e6,
+            "lat_min": d["lat_min"].to_numpy(np.float64),
+            "lat_max": d["lat_max"].to_numpy(np.float64),
+            "lon_min": d["lon_min"].to_numpy(np.float64),
+            "lon_max": d["lon_max"].to_numpy(np.float64)})
+        return out.sort_values("cluster_id").reset_index(drop=True)
     np_ = max(1, min(8, n_members // 50_000 + 1))
     j = members.map_batches(encode, batch_format="pyarrow") \
         .join(points, "inner", np_, on=("node",), right_on=("node",))

@@ -92,17 +92,28 @@ def test_oracle_parity(result):
 
 
 def test_distributed_paths_agree(result):
-    """Force the distributed closure (small_threshold=0 inside
-    cluster_labels is exercised elsewhere); here force the JOIN-based
-    core-flag path by dropping the broadcast ceiling."""
+    """The default run takes the local vectorized tail; force the FULLY
+    distributed tail (small_threshold=0) AND the JOIN-based core-flag
+    path (broadcast ceiling dropped) and require identical output."""
     d, got = result
     old = geocluster.BROADCAST_MAX
     geocluster.BROADCAST_MAX = 0
+    geocluster._MEMBERS_CACHE.clear()      # knobs aren't in the cache key
     try:
-        got2 = geocluster.geo_clusters(d).to_pandas() \
+        got2 = geocluster.geo_clusters(d, small_threshold=0).to_pandas() \
             .sort_values(["osm_id", "entity_type"]).reset_index(drop=True)
     finally:
         geocluster.BROADCAST_MAX = old
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+
+def test_distributed_broadcast_path_agrees(result):
+    """Distributed tail with the BROADCAST core-flag path (ceiling
+    intact) also matches the local kernel."""
+    d, got = result
+    geocluster._MEMBERS_CACHE.clear()      # drop the forced-join entry
+    got2 = geocluster.geo_clusters(d, small_threshold=0).to_pandas() \
+        .sort_values(["osm_id", "entity_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2, check_dtype=False)
 
 
