@@ -123,16 +123,18 @@ def _replicate(batch: pa.Table, *, res: int, group_res: int) -> pa.Table:
     flat = cells.reshape(-1)
     keep = flat >= 0
     rows, flat = rows[keep], flat[keep]
-    nfine = np.int64(1) << res
-    shift = res - group_res
-    ix, iy = flat % nfine, flat // nfine
-    gcell = (iy >> shift) * (np.int64(1) << group_res) + (ix >> shift)
-    # meta-bucket the shuffle key: groupby.map_groups pays per-GROUP
-    # overhead, so thousands of sparse gcells are hashed into a bounded
-    # bucket count (pure function of gcell — all rows of a fine cell stay
-    # colocated; the kernel joins on the fine cell, so co-bucketed gcells
-    # are harmless)
-    gcell = _bucket_of(gcell)
+    # meta-bucket the shuffle key DIRECTLY on the fine cell: pairs are
+    # only ever mined within one fine cell, so any partition of fine
+    # cells is correct — hashing the fine cell (not its coarse
+    # ancestor) scatters a dense metro's many cells across all buckets
+    # instead of pinning the whole area to one straggler group (the
+    # ancestor keying made one bucket 5x the mean at sf0.1).  Residual
+    # skew is a single ultra-dense FINE cell — irreducible for this
+    # algorithm without changing ``res``.  ``group_res`` stays in the
+    # signature (callers key caches on it) but no longer shapes the
+    # shuffle.
+    del group_res
+    gcell = _bucket_of(flat)
     return pa.table({
         "gcell": pa.array(gcell), "cell": pa.array(flat),
         "anchor": pa.array(flat == home[rows]),
@@ -140,22 +142,106 @@ def _replicate(batch: pa.Table, *, res: int, group_res: int) -> pa.Table:
         "lat": pa.array(lat[rows]), "lon": pa.array(lon[rows])})
 
 
-def _pairs_in_group(g: pd.DataFrame, *, eps_km: float) -> pa.Table:
-    """Anchor-driven same-fine-cell candidate merge + haversine gate.
-    A pair (a < b) is emitted exactly once — in a's home cell, where b
-    is present by replication (cell size >= eps guarantees coverage)."""
-    anchors = g[g["anchor"]]
-    if not len(anchors):
-        return _PAIR_SCHEMA.empty_table()
-    m = anchors.merge(g, on="cell", suffixes=("_a", "_b"))
-    m = m[m["node_a"] < m["node_b"]]
-    if not len(m):
-        return _PAIR_SCHEMA.empty_table()
-    d = geo.haversine_km(m["lat_a"].to_numpy(), m["lon_a"].to_numpy(),
-                         m["lat_b"].to_numpy(), m["lon_b"].to_numpy())
-    m = m[d <= eps_km]
-    return pa.table({"doc_a": pa.array(m["node_a"].to_numpy(np.int64)),
-                     "doc_b": pa.array(m["node_b"].to_numpy(np.int64))})
+#: mined-pair schema shared by the DBSCAN and range-join consumers:
+#: ``dist_km`` is 6-dp floor-rounded; ``raw_ok`` is the UNrounded
+#: ``d <= eps`` verdict (geo_clusters' gate — its oracle compares raw
+#: haversine), while the rounded column serves geo_range_join's
+#: ulp-stable gate.  The miner keeps every pair with raw
+#: ``d <= eps + _ROUND_SLACK`` so both gates read from one set
+#: (rounded <= eps implies raw < eps + 5e-7).
+_MINE_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("dist_km", pa.float64()), ("raw_ok", pa.bool_())])
+_ROUND_SLACK = 1e-6
+#: candidate rows expanded per numpy chunk inside a group kernel
+#: (~320 MB of working set at 5 int64/float64 columns)
+_CAND_CHUNK = 1 << 23
+
+
+def _eps_pairs_group(g: pd.DataFrame, *, eps_km: float) -> pa.Table:
+    """Anchor-driven same-fine-cell candidate expansion + haversine
+    gate, fully vectorized: sort the group by fine cell, locate each
+    anchor's cell run with ``searchsorted``, expand (anchor, candidate)
+    index pairs with ``repeat``/``arange`` arithmetic, and gate in
+    numpy — no pandas merge materializing the candidate frame (the
+    merge was the 5x-mean straggler on the densest metro gcell).
+    Anchors are processed in ``_CAND_CHUNK``-candidate chunks so the
+    expansion stays memory-bounded regardless of cell density.  A pair
+    (a < b) is emitted exactly once — in a's home cell, where b is
+    present by replication (cell size >= eps + slack guarantees
+    coverage)."""
+    cell = g["cell"].to_numpy(np.int64)
+    order = np.argsort(cell, kind="stable")
+    cell = cell[order]
+    node = g["node"].to_numpy(np.int64)[order]
+    lat = g["lat"].to_numpy(np.float64)[order]
+    lon = g["lon"].to_numpy(np.float64)[order]
+    apos = np.nonzero(g["anchor"].to_numpy(bool)[order])[0]
+    if not len(apos):
+        return _MINE_SCHEMA.empty_table()
+    left = np.searchsorted(cell, cell[apos], "left")
+    cnt = np.searchsorted(cell, cell[apos], "right") - left
+    csum = np.cumsum(cnt)
+    total = int(csum[-1])
+    cuts = np.searchsorted(csum, np.arange(_CAND_CHUNK, total,
+                                           _CAND_CHUNK), "left") + 1
+    bounds = np.concatenate([[0], cuts, [len(apos)]])
+    outs = []
+    for a0, a1 in zip(bounds[:-1], bounds[1:]):
+        if a0 >= a1:
+            continue
+        c = cnt[a0:a1]
+        tot = int(c.sum())
+        if tot == 0:
+            continue
+        ai = np.repeat(apos[a0:a1], c)
+        off = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(c) - c, c)
+        bi = np.repeat(left[a0:a1], c) + off
+        m = node[ai] < node[bi]
+        ai, bi = ai[m], bi[m]
+        d = geo.haversine_km(lat[ai], lon[ai], lat[bi], lon[bi])
+        keep = d <= eps_km + _ROUND_SLACK
+        ai, bi, d = ai[keep], bi[keep], d[keep]
+        if not len(ai):
+            continue
+        outs.append(pa.table({
+            "doc_a": pa.array(node[ai]), "doc_b": pa.array(node[bi]),
+            "dist_km": pa.array(np.floor(d * 1e6 + 0.5) / 1e6),
+            "raw_ok": pa.array(d <= eps_km)}))
+    if not outs:
+        return _MINE_SCHEMA.empty_table()
+    return pa.concat_tables(outs)
+
+
+_PAIRS_CACHE: dict = caches.register({})
+
+
+def mined_eps_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
+                    eps_km: float = EPS_KM, res: int = RES,
+                    group_res: int = GROUP_RES) -> rd.Dataset:
+    """Shared eps-pair mining over the deduped named-CTV points —
+    ``(doc_a, doc_b, dist_km, raw_ok)``, materialized and cached per
+    (input fingerprint, eps, res) so ``geo_clusters``,
+    ``geo_cluster_stats`` and ``geo_range_join`` mine the corpus
+    once per driver sweep."""
+    import os
+    shard = os.path.join(data_dir, "docs", f"map={map_slug}")
+    ckey = (shard, caches.path_fingerprint(shard), map_slug,
+            eps_km, res, group_res)
+    if ckey in _PAIRS_CACHE:
+        return _PAIRS_CACHE[ckey]
+    points = named_ctv_deduped(data_dir, map_slug=map_slug) \
+        .map_batches(_to_nodes, batch_format="pyarrow")
+    pairs = points.map_batches(
+        _replicate, batch_format="pyarrow",
+        fn_kwargs={"res": res, "group_res": group_res}) \
+        .groupby("gcell").map_groups(
+            _eps_pairs_group, batch_format="pandas",
+            fn_kwargs={"eps_km": eps_km}) \
+        .materialize()
+    _PAIRS_CACHE[ckey] = pairs
+    return pairs
 
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -264,14 +350,11 @@ def geo_clusters(data_dir: str, *, map_slug: str = "serbia_pbf",
             eps_km, min_pts, res, group_res, small_threshold == 0)
     if ckey in _MEMBERS_CACHE:
         return _MEMBERS_CACHE[ckey]
-    points = named_ctv_deduped(data_dir, map_slug=map_slug) \
-        .map_batches(_to_nodes, batch_format="pyarrow")
-    pairs = points.map_batches(
-        _replicate, batch_format="pyarrow",
-        fn_kwargs={"res": res, "group_res": group_res}) \
-        .groupby("gcell").map_groups(
-            _pairs_in_group, batch_format="pandas",
-            fn_kwargs={"eps_km": eps_km}) \
+    pairs = mined_eps_pairs(data_dir, map_slug=map_slug, eps_km=eps_km,
+                            res=res, group_res=group_res) \
+        .map_batches(
+            lambda b: b.filter(b["raw_ok"]).select(["doc_a", "doc_b"]),
+            batch_format="pyarrow") \
         .materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
@@ -524,3 +607,58 @@ def geo_cluster_stats(data_dir: str, *, map_slug: str = "serbia_pbf",
         .groupby("_mb").map_groups(combine, batch_format="pandas") \
         .to_pandas()
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distance-band spatial self-join (range join)
+# ---------------------------------------------------------------------------
+
+#: the range join shares the DBSCAN miner's eps/res configuration ON
+#: PURPOSE: both read the same cached ``mined_eps_pairs`` table, so a
+#: driver sweep running geo_clusters -> geo_cluster_stats ->
+#: geo_range_join mines the corpus exactly once.
+RANGE_EPS_KM = EPS_KM
+
+_RANGE_SCHEMA = pa.schema([
+    ("osm_id_a", pa.int64()), ("entity_type_a", pa.string()),
+    ("osm_id_b", pa.int64()), ("entity_type_b", pa.string()),
+    ("dist_km", pa.float64())])
+
+
+def geo_range_join(data_dir: str, *, map_slug: str = "serbia_pbf",
+                   eps_km: float = RANGE_EPS_KM, res: int = RES,
+                   group_res: int = GROUP_RES) -> rd.Dataset:
+    """Distance-band spatial self-join over the deduped named-CTV
+    points: every pair of distinct named places within ``eps_km``
+    (great-circle), emitted once (``node_a < node_b``) with the 6-dp
+    rounded distance — the gate reads the ROUNDED value (same rule as
+    ``geo.nearest_tile_batch``) so numpy-vs-DuckDB trig ulps cannot
+    flip a boundary pair.
+
+    Generalizes the reference's point-radius gating (the 20 km wiki
+    distance gate, reference src/checks.py:541, and the
+    ``wikibase:around`` circles in sparql/*.sparql) from
+    one-point-vs-one-point to the corpus-level band join the north rule
+    asks of a spatial engine.  Mining is ``mined_eps_pairs`` (shared
+    with DBSCAN): 9-cell replication at a resolution whose cell size
+    exceeds ``eps_km``, coarse-ancestor shuffle key hashed into bounded
+    meta-buckets, one vectorized chunked expansion per group — work per
+    group is bounded by eps-density, never all-pairs, and the output
+    streams (no driver-side pair list)."""
+    mined = mined_eps_pairs(data_dir, map_slug=map_slug, eps_km=eps_km,
+                            res=res, group_res=group_res)
+
+    def decode(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less_equal(b["dist_km"], eps_km))
+        na = t["doc_a"].to_numpy(zero_copy_only=False)
+        nb = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "osm_id_a": pa.array(na // 4),
+            "entity_type_a": pa.array(_ETYPE_NAME[na % 4],
+                                      type=pa.string()),
+            "osm_id_b": pa.array(nb // 4),
+            "entity_type_b": pa.array(_ETYPE_NAME[nb % 4],
+                                      type=pa.string()),
+            "dist_km": t["dist_km"].cast(pa.float64())})
+
+    return mined.map_batches(decode, batch_format="pyarrow")

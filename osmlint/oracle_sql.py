@@ -2216,6 +2216,94 @@ FROM members m JOIN named p ON p.node = m.node
 GROUP BY 1 ORDER BY 1"""
 
 
+def geo_range_join_sql(d: str, eps_km: float) -> str:
+    """Distance-band self-join over the named-CTV points: the same
+    lat-band IEJoin prefilter as ``geo_clusters_sql`` (|dlat deg| <=
+    eps/111.0 strictly covers hav <= eps + the 5e-7 km rounding slack,
+    since 1 deg lat >= 111.195 km), then the exact haversine 6-dp
+    floor-rounded BEFORE the eps gate — mirroring the engine kernel so
+    trig ulps cannot flip a boundary pair."""
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = eps_km / 111.0
+    etype = ("CASE {n} % 4 WHEN 0 THEN 'node' WHEN 1 THEN 'way' "
+             "ELSE 'relation' END")
+    return f"""
+WITH flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+named AS (
+  SELECT osm_id*4 + CASE entity_type WHEN 'node' THEN 0
+                                     WHEN 'way' THEN 1 ELSE 2 END AS node,
+         lat, lon
+  FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY seq DESC) AS rn
+        FROM flat f
+        WHERE map_slug = 'serbia_pbf'
+          AND place IN ('city','town','village') AND name IS NOT NULL)
+  WHERE rn = 1)
+SELECT CAST(a.node // 4 AS BIGINT) AS osm_id_a,
+       {etype.format(n='a.node')} AS entity_type_a,
+       CAST(b.node // 4 AS BIGINT) AS osm_id_b,
+       {etype.format(n='b.node')} AS entity_type_b,
+       floor({hav} * 1e6 + 0.5) / 1e6 AS dist_km
+FROM named a JOIN named b
+  ON b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+WHERE a.node < b.node AND floor({hav} * 1e6 + 0.5) / 1e6 <= {eps_km!r}
+ORDER BY 1, 2, 3, 4"""
+
+
+def cell_pyramid_sql(d: str, res: int) -> str:
+    """Multi-res tile pyramid: per-res direct cell formula — equal to
+    the engine's parent rollup since floor(floor(2y)/2) == floor(y) and
+    the edge clips commute with the halving."""
+    sels = [f"""SELECT CAST({r} AS BIGINT) AS res,
+       {cell_sql(r)} AS cell_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM base GROUP BY 2""" for r in (res, res - 1, res - 2)]
+    return (f"WITH {base_ctes(d)}\n" + "\nUNION ALL\n".join(sels)
+            + "\nORDER BY res, cell_id")
+
+
+def raster_polygonize_sql(d: str, res: int, k: int,
+                          rounds: int = 24) -> str:
+    """4-connected regions of the above-threshold band cells:
+    exact-integer threshold (density * n_occupied >= k * total),
+    grid-step edges, and the same fixed-round alternating
+    min-propagation + pointer-jump CTE chain as ``geo_clusters_sql``
+    (rounds = 24 vs a measured <=4 to converge at sf0.001-0.1 — the
+    hotspot regions over the fixed extent stay tens of cells at every
+    scale, and the jump step halves chain depth, so 24 is a >=6x
+    margin; extra rounds are no-ops)."""
+    n = 1 << res
+    parts = [f"""{base_ctes(d)},
+band AS (SELECT {cell_sql(res)} AS cell, CAST(count(*) AS BIGINT)
+             AS density FROM base GROUP BY 1),
+tot AS (SELECT sum(density) AS total, count(*) AS m FROM band),
+sel AS MATERIALIZED (SELECT b.cell, b.density FROM band b, tot
+                     WHERE b.density * tot.m >= {k} * tot.total),
+edges AS (
+  SELECT a.cell AS src, b.cell AS dst FROM sel a
+  JOIN sel b ON b.cell = a.cell + 1 WHERE a.cell % {n} <> {n - 1}
+  UNION ALL
+  SELECT a.cell, b.cell FROM sel a JOIN sel b ON b.cell = a.cell + {n}),
+ebi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+lab0 AS (SELECT cell AS node, cell AS l FROM sel)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+p{t} AS MATERIALIZED (SELECT x.node AS node, min(x.l) AS l FROM (
+    SELECT e.dst AS node, j.l FROM ebi e JOIN lab{t - 1} j
+      ON j.node = e.src
+    UNION ALL SELECT node, l FROM lab{t - 1}) x GROUP BY x.node),
+lab{t} AS MATERIALIZED (SELECT a.node AS node, b.l AS l
+    FROM p{t} a JOIN p{t} b ON b.node = a.l)""")
+    return "WITH " + ",".join(parts) + f"""
+SELECT j.l AS region_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(s.density) AS BIGINT) AS total_density,
+       CAST(min(s.cell % {n}) AS BIGINT) AS ix_min,
+       CAST(max(s.cell % {n}) AS BIGINT) AS ix_max,
+       CAST(min(s.cell // {n}) AS BIGINT) AS iy_min,
+       CAST(max(s.cell // {n}) AS BIGINT) AS iy_max
+FROM lab{rounds} j JOIN sel s ON s.cell = j.node
+GROUP BY 1 ORDER BY 1"""
+
+
 def dedup_cosine_clusters_sql(tau: float) -> str:
     """Connected components over the exact cosine pair set (recursive
     min-label closure — near-dup clusters are small, so the walk-based

@@ -149,6 +149,53 @@ def cell_density_smooth(sf_dir: str) -> pd.DataFrame:
         .sort_values("cell_id").reset_index(drop=True)
 
 
+def cell_pyramid(sf_dir: str) -> pd.DataFrame:
+    """H3-style multi-resolution tile pyramid (the north rule's
+    "res 7-9" hierarchy on the quad-cell stand-in): doc counts per cell
+    at CELL_RES, CELL_RES-1 and CELL_RES-2, the coarser levels derived
+    by parent rollup (``geo.cell_parent`` halves (ix, iy) — exactly the
+    direct cell formula at the coarser res, since
+    floor(floor(2y)/2) == floor(y) and the edge clips commute).
+
+    Shape: the bounded per-cell count aggregate (same partials as
+    ``cell_index``) → each res-8 count emits its 3 (res, ancestor)
+    rows (constant ×3 on the GRID-bounded table, not the corpus) →
+    one more bounded groupby.  At 100 TB only the first pass sees the
+    corpus, and its output is capped by the fixed grid."""
+    from . import geo
+    res0 = CELL_RES
+    ds = _decoded(_synth(sf_dir), with_pip=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell_id").aggregate(Sum("n", alias_name="n")))
+
+    def spread(batch: pa.Table) -> pa.Table:
+        c = batch["cell_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs, cur = [], c
+        for r in range(res0, res0 - 3, -1):
+            outs.append(pa.table({
+                "res": pa.array(np.full(len(cur), r, dtype=np.int64)),
+                "cell_id": pa.array(cur), "n": pa.array(n)}))
+            cur = geo.cell_parent(cur, r)
+        return pa.concat_tables(outs)
+
+    pyr = (counts.map_batches(spread, batch_format="pyarrow")
+           .groupby(["res", "cell_id"])
+           .aggregate(Sum("n", alias_name="n_docs")).to_pandas())
+    for c in ("res", "cell_id", "n_docs"):
+        pyr[c] = pyr[c].astype(np.int64)
+    return pyr[["res", "cell_id", "n_docs"]] \
+        .sort_values(["res", "cell_id"]).reset_index(drop=True)
+
+
 def knn_dup_names(sf_dir: str) -> rd.Dataset:
     return dupnames.dup_name_pairs(_synth(sf_dir))
 
@@ -585,6 +632,16 @@ def raster_zonal_stats(sf_dir: str):
     return raster.zonal_stats(_synth(sf_dir))
 
 
+def raster_polygonize(sf_dir: str):
+    from . import raster
+    return raster.polygonize(_synth(sf_dir))
+
+
+def geo_range_join(sf_dir: str):
+    from . import geocluster
+    return geocluster.geo_range_join(_synth(sf_dir))
+
+
 def fix_plan(sf_dir: str):
     from . import fixes
     return fixes.fix_plan_dataset(_synth(sf_dir))
@@ -649,6 +706,11 @@ def _eventops():
 def _geocluster():
     from . import geocluster
     return geocluster
+
+
+def _raster():
+    from . import raster
+    return raster
 
 
 # ---------------------------------------------------------------------------
@@ -753,6 +815,11 @@ def ray_queries() -> dict:
         "tfidf_keywords": tfidf_keywords,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
+        # --- tier 5: new in r4's second half (past the 50-query window
+        #     by construction — evidence is the in-repo parity suite) ---
+        "cell_pyramid": cell_pyramid,
+        "geo_range_join": geo_range_join,
+        "raster_polygonize": raster_polygonize,
     }
 
 
@@ -944,6 +1011,11 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "fix_plan": oracle_sql.fix_plan_sql(d),
         "raster_sample": oracle_sql.raster_sample_sql(d, CELL_RES),
         "raster_zonal_stats": oracle_sql.raster_zonal_stats_sql(d, CELL_RES),
+        "raster_polygonize": oracle_sql.raster_polygonize_sql(
+            d, _raster().POLY_RES, _raster().POLY_K),
+        "cell_pyramid": oracle_sql.cell_pyramid_sql(d, CELL_RES),
+        "geo_range_join": oracle_sql.geo_range_join_sql(
+            d, _geocluster().RANGE_EPS_KM),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }
