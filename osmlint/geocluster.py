@@ -29,12 +29,13 @@ Ray-Data-idiomatic shape — no all-pairs, no driver loops:
    ``dupnames``: each point is emitted into its home cell (anchor) + 8
    neighbors at a resolution whose cell size exceeds ``eps_km``, so every
    qualifying pair shares the anchor's home cell; the shuffle key is the
-   coarse ancestor cell hashed into a bounded bucket count (the
-   ``_REDUCE_BUCKETS`` rule — sparse gcells would otherwise pay
-   per-group overhead), and each group does ONE vectorized
-   anchors x copies merge on the fine cell + haversine gate.  Work per
-   group is bounded by eps-density (the candidate volume itself), not by
-   global skew; raise ``res``/``group_res`` together to shrink groups;
+   FINE cell hashed into a bounded bucket count (the ``_REDUCE_BUCKETS``
+   rule — sparse cells would otherwise pay per-group overhead, and
+   hashing the fine cell rather than a coarse ancestor scatters dense
+   metros across all buckets), and each group runs one vectorized
+   chunked anchors x copies expansion on the fine cell + haversine
+   gate (``_eps_pairs_group``).  Work per group is bounded by
+   eps-density (the candidate volume itself), not by global skew;
 3. per-node eps-DEGREE via a bounded node-hash bucket reduce over pair
    endpoints (the ``_REDUCE_BUCKETS`` rule — no node-cardinality
    ``aggregate()``);
@@ -641,10 +642,10 @@ def geo_range_join(data_dir: str, *, map_slug: str = "serbia_pbf",
     one-point-vs-one-point to the corpus-level band join the north rule
     asks of a spatial engine.  Mining is ``mined_eps_pairs`` (shared
     with DBSCAN): 9-cell replication at a resolution whose cell size
-    exceeds ``eps_km``, coarse-ancestor shuffle key hashed into bounded
-    meta-buckets, one vectorized chunked expansion per group — work per
-    group is bounded by eps-density, never all-pairs, and the output
-    streams (no driver-side pair list)."""
+    exceeds ``eps_km``, fine-cell hash into bounded meta-buckets, one
+    vectorized chunked expansion per group — work per group is bounded
+    by eps-density, never all-pairs, and the output streams (no
+    driver-side pair list)."""
     mined = mined_eps_pairs(data_dir, map_slug=map_slug, eps_km=eps_km,
                             res=res, group_res=group_res)
 
