@@ -723,8 +723,10 @@ def ray_queries() -> dict:
     # past position 50, so the registry is tiered by evidence freshness:
     #   tier 1 — the 25 queries with NO r3 driver row (rule_*, events_*,
     #            media_*, raster_*, fix_plan, cosine-LSH) go first;
-    #   tier 2 — new-in-r4 queries;
-    #   tier 3 — core geo/lint + ANN + dedup headliners fill the window;
+    #   tier 2/2b — new-in-r4 queries (2b = r4 second half: pyramid,
+    #            range join, polygonize — never driver-verified);
+    #   tier 3 — core geo/lint + ANN + dedup headliners fill the
+    #            remaining 5 window slots (lint_* + pip_tile_join);
     #   tier 4 — text ops with fresh r3 green rows rotate to the back.
     return {
         # --- tier 1: no r3 driver row -----------------------------------
@@ -763,6 +765,10 @@ def ray_queries() -> dict:
         "knn_pagerank": knn_pagerank,
         "geo_cluster_stats": geo_cluster_stats,
         "source_embedding_norms": source_embedding_norms,
+        # --- tier 2b: new in r4's second half (never driver-verified) ----
+        "cell_pyramid": cell_pyramid,
+        "geo_range_join": geo_range_join,
+        "raster_polygonize": raster_polygonize,
         # --- tier 3: core geo/lint + ANN + dedup ------------------------
         "lint_flags": lint_flags,
         "lint_summary_per_map": lint_summary_per_map,
@@ -815,11 +821,6 @@ def ray_queries() -> dict:
         "tfidf_keywords": tfidf_keywords,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
-        # --- tier 5: new in r4's second half (past the 50-query window
-        #     by construction — evidence is the in-repo parity suite) ---
-        "cell_pyramid": cell_pyramid,
-        "geo_range_join": geo_range_join,
-        "raster_polygonize": raster_polygonize,
     }
 
 
