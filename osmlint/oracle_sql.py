@@ -2346,3 +2346,142 @@ SELECT c.vec_id, CAST(r.j AS BIGINT) AS dim_idx,
        floor(sum(c.x * r.v) / {s} * 1e6 + 0.5) / 1e6 AS value
 FROM comp c JOIN r ON r.i = c.i
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# grid spatial statistics (osmlint/geostats.py)
+# ---------------------------------------------------------------------------
+
+def _counts_cte(res: int) -> str:
+    return (f"counts AS (\n  SELECT {cell_sql(res)} AS cell_id,"
+            " CAST(count(*) AS BIGINT) AS n\n  FROM base GROUP BY 1\n)")
+
+
+def _queen_join(res: int, include_self: bool) -> str:
+    """3x3 adjacency between occupied cells on (ix, iy) deltas."""
+    n = 1 << res
+    cond = (f"abs((a.cell_id % {n}) - (b.cell_id % {n})) <= 1\n"
+            f"   AND abs((a.cell_id // {n}) - (b.cell_id // {n})) <= 1")
+    if not include_self:
+        cond += "\n   AND a.cell_id <> b.cell_id"
+    return cond
+
+
+def moran_i_sql(d: str, res: int) -> str:
+    """Global Moran's I from exact-integer moments over directed queen
+    neighbor pairs of occupied cells — HUGEINT accumulation (a BIGINT
+    product of two per-cell counts can wrap), then the identical
+    closed-form expression tree as ``geostats.moran_i`` and 6-dp floor
+    rounding.  Empty when S0 = 0 or the count variance is zero."""
+    return f"""
+WITH {base_ctes(d)},
+{_counts_cte(res)},
+pairs AS (
+  SELECT a.n AS na, b.n AS nb
+  FROM counts a JOIN counts b
+    ON {_queen_join(res, include_self=False)}
+),
+mom AS (
+  SELECT CAST(coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS DOUBLE) AS am,
+         CAST(coalesce(sum(CAST(na AS HUGEINT) + nb), 0) AS DOUBLE) AS bm,
+         CAST(count(*) AS BIGINT) AS s0
+  FROM pairs
+),
+gmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) AS td,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS sqd
+  FROM counts
+)
+SELECT g.n AS n_cells, m.s0 AS s0,
+       floor(((CAST(g.n AS DOUBLE) / m.s0)
+              * ((m.am - (g.td / g.n) * m.bm
+                  + (g.td / g.n) * (g.td / g.n) * m.s0)
+                 / (g.sqd - g.n * (g.td / g.n) * (g.td / g.n))))
+             * 1e6 + 0.5) / 1e6 AS moran_i
+FROM gmom g, mom m
+WHERE g.n > 0 AND m.s0 > 0
+  AND (g.sqd - g.n * (g.td / g.n) * (g.td / g.n)) <> 0"""
+
+
+def gi_star_sql(d: str, res: int) -> str:
+    """Getis-Ord Gi* per occupied cell (3x3 incl. self over occupied
+    cells): integer (t, w) from the queen self-join, global moments in
+    HUGEINT->DOUBLE, the same z expression tree as ``geostats.gi_star``
+    (degenerate rows filtered, not NULLed), 6-dp floor rounding."""
+    return f"""
+WITH {base_ctes(d)},
+{_counts_cte(res)},
+nbr AS (
+  SELECT a.cell_id, a.n,
+         CAST(sum(b.n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS w
+  FROM counts a JOIN counts b
+    ON {_queen_join(res, include_self=True)}
+  GROUP BY 1, 2
+),
+gmom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(n AS HUGEINT)) AS DOUBLE) AS td,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE) AS sqd
+  FROM counts
+)
+SELECT nbr.cell_id, nbr.n AS n_docs,
+       floor(((CAST(nbr.t AS DOUBLE) - (g.td / g.n) * nbr.w)
+              / (sqrt(g.sqd / g.n - (g.td / g.n) * (g.td / g.n))
+                 * sqrt(CAST(g.n * nbr.w - nbr.w * nbr.w AS DOUBLE)
+                        / (g.n - 1.0))))
+             * 1e6 + 0.5) / 1e6 AS gi_z
+FROM nbr, gmom g
+WHERE g.n > 1
+  AND (g.sqd / g.n - (g.td / g.n) * (g.td / g.n)) > 0
+  AND g.n * nbr.w - nbr.w * nbr.w > 0
+ORDER BY nbr.cell_id"""
+
+
+def kde_heatmap_sql(d: str, res: int, cutoff_km: float,
+                    lat_step: float, lon_step: float) -> str:
+    """Quartic-kernel density at cell centers: each point's 9 candidate
+    neighbor cells (the 3x3 window covers every center within the
+    cutoff — see ``geostats.kde_heatmap``), haversine 6-dp floor-rounded
+    BEFORE the cutoff gate, weight quantized to an integer micro-weight
+    BEFORE the sum — so engine/oracle sums are exact-integer-equal."""
+    n = 1 << res
+    clat = f"(90.0 - (jy + 0.5) * {lat_step!r})"
+    clon = f"((jx + 0.5) * {lon_step!r} - 180.0)"
+    hav = haversine_sql("lat", "lon", clat, clon)
+    return f"""
+WITH {base_ctes(d)},
+pts AS (
+  SELECT lat, lon,
+         {cell_sql(res)} % {n} AS ix, {cell_sql(res)} // {n} AS iy
+  FROM base
+),
+offs AS (
+  SELECT dx.x AS dx, dy.y AS dy
+  FROM (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+),
+cand AS (
+  SELECT p.lat, p.lon, p.ix + o.dx AS jx, p.iy + o.dy AS jy
+  FROM pts p CROSS JOIN offs o
+  WHERE p.ix + o.dx >= 0 AND p.ix + o.dx < {n}
+    AND p.iy + o.dy >= 0 AND p.iy + o.dy < {n}
+),
+dd AS (
+  SELECT jy * {n} + jx AS cell_id,
+         floor({hav} * 1e6 + 0.5) / 1e6 AS dist
+  FROM cand
+),
+wts AS (
+  SELECT cell_id,
+         (1.0 - (dist / {cutoff_km!r}) * (dist / {cutoff_km!r})) AS t
+  FROM dd WHERE dist <= {cutoff_km!r}
+),
+micro AS (
+  SELECT cell_id,
+         CAST(floor(t * t * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM wts
+)
+SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(m) AS BIGINT) AS kde_micro,
+       CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 1000000.0 AS kde
+FROM micro GROUP BY 1 ORDER BY 1"""

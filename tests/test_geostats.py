@@ -1,0 +1,104 @@
+# -*- coding: utf-8 -*-
+"""Grid spatial statistics (Moran's I / Gi* / KDE heatmap) — textbook
+brute-force recomputation from the raw point table, plus the candidate
+-restriction invariant the KDE scale shape relies on."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from osmlint import geo, geostats, synth
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def points(ray_session):
+    d = synth.generate(SF)
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT lat, lon FROM read_parquet('{d}/flat.parquet')").df()
+    lat, lon = df["lat"].to_numpy(), df["lon"].to_numpy()
+    cells = geo.cell_id(lat, lon, geostats.CELL_RES).astype(np.int64)
+    return d, lat, lon, cells
+
+
+@pytest.fixture(scope="module")
+def grid(points):
+    """Occupied-cell counts + queen adjacency, brute-forced."""
+    _, _, _, cells = points
+    uniq, counts = np.unique(cells, return_counts=True)
+    ix, iy = uniq % geostats.N_SIDE, uniq // geostats.N_SIDE
+    adj = (np.abs(ix[:, None] - ix[None, :]) <= 1) \
+        & (np.abs(iy[:, None] - iy[None, :]) <= 1)
+    return uniq, counts.astype(np.int64), adj
+
+
+def test_moran_i_brute(points, grid):
+    d, _, _, _ = points
+    uniq, n, adj = grid
+    w = adj & ~np.eye(len(uniq), dtype=bool)        # queen, no self
+    z = n - n.mean()
+    s0 = int(w.sum())
+    expect = (len(uniq) / s0) * float(z @ (w @ z)) / float(z @ z)
+    got = geostats.moran_i(d)
+    assert len(got) == 1
+    assert int(got["n_cells"].iloc[0]) == len(uniq)
+    assert int(got["s0"].iloc[0]) == s0
+    assert got["moran_i"].iloc[0] == pytest.approx(expect, abs=2e-6)
+
+
+def test_gi_star_brute(points, grid):
+    d, _, _, _ = points
+    uniq, x, adj = grid                             # adj includes self
+    nn = len(uniq)
+    xbar, s = x.mean(), x.std()                     # population sd
+    t = adj @ x
+    w = adj.sum(axis=1)
+    denom = s * np.sqrt((nn * w - w * w) / (nn - 1.0))
+    expect = (t - xbar * w) / denom
+    got = geostats.gi_star(d)
+    assert got["cell_id"].tolist() == uniq.tolist()
+    assert got["n_docs"].tolist() == x.tolist()
+    np.testing.assert_allclose(got["gi_z"].to_numpy(), expect, atol=2e-6)
+    # hotspots really are hot: the max-z cell has an above-mean window sum
+    hot = int(np.argmax(got["gi_z"].to_numpy()))
+    assert t[hot] / w[hot] > xbar
+
+
+def test_kde_brute_and_candidate_invariant(points):
+    d, lat, lon, cells = points
+    got = geostats.kde_heatmap(d)
+    out_cells = got["cell_id"].to_numpy(np.int64)
+    # brute contributions: every point x every OUTPUT cell center
+    jx, jy = out_cells % geostats.N_SIDE, out_cells // geostats.N_SIDE
+    clat = 90.0 - (jy + 0.5) * geostats.LAT_STEP
+    clon = (jx + 0.5) * geostats.LON_STEP - 180.0
+    dist = geo.haversine_km(lat[:, None], lon[:, None],
+                            clat[None, :], clon[None, :])
+    dist = np.floor(dist * 1e6 + 0.5) / 1e6
+    within = dist <= geostats.KDE_CUTOFF_KM
+    u = dist / geostats.KDE_CUTOFF_KM
+    t = 1.0 - u * u
+    micro = np.floor(t * t * 1000000.0 + 0.5).astype(np.int64)
+    micro[~within] = 0
+    np.testing.assert_array_equal(got["kde_micro"].to_numpy(np.int64),
+                                  micro.sum(axis=0))
+    np.testing.assert_array_equal(got["n_pts"].to_numpy(np.int64),
+                                  within.sum(axis=0))
+    # the 3x3 candidate restriction is lossless at this cutoff: every
+    # (point, output-cell) pair within the cutoff is in the point's 3x3
+    pix, piy = cells % geostats.N_SIDE, cells // geostats.N_SIDE
+    in3x3 = (np.abs(pix[:, None] - jx[None, :]) <= 1) \
+        & (np.abs(piy[:, None] - jy[None, :]) <= 1)
+    assert not np.any(within & ~in3x3)
+    # and no contributing center exists outside the output cell set:
+    # output cells == exactly the 3x3 neighbors receiving >= 1 in-cutoff
+    # contribution (engine emits only contribution-receiving cells)
+    assert np.all(within.sum(axis=0) >= 1)
+
+
+def test_kde_cutoff_fits_window():
+    """The documented coverage bound: cutoff < 1.5 res-8 cell heights."""
+    cell_height_km = geostats.LAT_STEP * 111.195
+    assert geostats.KDE_CUTOFF_KM < 1.5 * cell_height_km
