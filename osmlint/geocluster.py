@@ -663,3 +663,53 @@ def geo_range_join(data_dir: str, *, map_slug: str = "serbia_pbf",
             "dist_km": t["dist_km"].cast(pa.float64())})
 
     return mined.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K point-pattern statistic
+# ---------------------------------------------------------------------------
+
+RIPLEY_BINS = (0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def ripley_k(data_dir: str, *, map_slug: str = "serbia_pbf",
+             eps_km: float = EPS_KM, res: int = RES,
+             group_res: int = GROUP_RES,
+             bins: tuple = RIPLEY_BINS) -> pd.DataFrame:
+    """Ripley's K clustering curve over the deduped named-CTV points:
+    for each radius r, the count of unordered point pairs within r
+    (great-circle, 6-dp-rounded before the gate) and the
+    area-independent estimate K(r)/A = 2*cnt(r)/n^2 (the classic
+    border-uncorrected K-hat with the study-area factor divided out,
+    so no float area term enters the parity surface).  A flat curve
+    ~pi*r^2/A means spatial randomness; super-linear growth means
+    clustering at that scale — the point-pattern companion to the
+    binary DBSCAN verdict.
+
+    Shape: the pair set is ``mined_eps_pairs`` (shared with DBSCAN /
+    ``geo_range_join`` — one corpus mine per sweep, bins must stay
+    <= the mining eps); per-batch bin counts reduce to len(bins) rows,
+    and n is one count() over the materialized point projection.
+    Nothing pair-shaped reaches the driver."""
+    assert max(bins) <= eps_km, "bins beyond the mining eps see no pairs"
+    mined = mined_eps_pairs(data_dir, map_slug=map_slug, eps_km=eps_km,
+                            res=res, group_res=group_res)
+    edges = np.asarray(bins, dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["dist_km"].to_numpy(zero_copy_only=False)
+        cnt = (d[None, :] <= edges[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({"r_km": pa.array(edges),
+                         "n_pairs": pa.array(cnt)})
+
+    agg = (mined.map_batches(partial, batch_format="pyarrow")
+           .groupby("r_km")
+           .aggregate(rd.aggregate.Sum("n_pairs", alias_name="n_pairs"))
+           .to_pandas())
+    out = pd.DataFrame({"r_km": edges})
+    out = out.merge(agg, on="r_km", how="left")
+    out["n_pairs"] = out["n_pairs"].fillna(0).astype(np.int64)
+    n = named_ctv_deduped(data_dir, map_slug=map_slug).count()
+    out["k_over_a"] = (2.0 * out["n_pairs"].to_numpy(np.float64)) \
+        / (n * n)
+    return out.sort_values("r_km").reset_index(drop=True)

@@ -2485,3 +2485,43 @@ SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pts,
        CAST(sum(m) AS BIGINT) AS kde_micro,
        CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 1000000.0 AS kde
 FROM micro GROUP BY 1 ORDER BY 1"""
+
+
+def ripley_k_sql(d: str, eps_km: float, bins: tuple) -> str:
+    """Ripley's K bins over the same deduped named-CTV pair set as
+    ``geo_range_join_sql`` (lat-band prefilter, haversine 6-dp
+    floor-rounded BEFORE every gate); per-bin cumulative pair counts
+    via a bins x pairs <= join, zero bins kept, and the identical
+    (2.0*cnt)/(n*n) normalizer — all-integer sums, no float rounding
+    needed."""
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = eps_km / 111.0
+    vals = ", ".join(f"(CAST({b!r} AS DOUBLE))" for b in bins)
+    return f"""
+WITH flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+named AS (
+  SELECT osm_id*4 + CASE entity_type WHEN 'node' THEN 0
+                                     WHEN 'way' THEN 1 ELSE 2 END AS node,
+         lat, lon
+  FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY seq DESC) AS rn
+        FROM flat f
+        WHERE map_slug = 'serbia_pbf'
+          AND place IN ('city','town','village') AND name IS NOT NULL)
+  WHERE rn = 1),
+pairs AS (
+  SELECT floor({hav} * 1e6 + 0.5) / 1e6 AS dist
+  FROM named a JOIN named b
+    ON b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+  WHERE a.node < b.node
+    AND floor({hav} * 1e6 + 0.5) / 1e6 <= {eps_km!r}),
+bins(r_km) AS (VALUES {vals}),
+cnt AS (
+  SELECT bins.r_km,
+         CAST(count(pairs.dist) AS BIGINT) AS n_pairs
+  FROM bins LEFT JOIN pairs ON pairs.dist <= bins.r_km
+  GROUP BY 1),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM named)
+SELECT c.r_km, c.n_pairs,
+       (2.0 * CAST(c.n_pairs AS DOUBLE)) / (np.n * np.n) AS k_over_a
+FROM cnt c, np ORDER BY c.r_km"""

@@ -211,6 +211,11 @@ def geo_kde_heatmap(sf_dir: str) -> pd.DataFrame:
     return geostats.kde_heatmap(_synth(sf_dir))
 
 
+def geo_ripley_k(sf_dir: str) -> pd.DataFrame:
+    """Ripley's K clustering curve over the named-CTV points."""
+    return _geocluster().ripley_k(_synth(sf_dir))
+
+
 def knn_dup_names(sf_dir: str) -> rd.Dataset:
     return dupnames.dup_name_pairs(_synth(sf_dir))
 
@@ -843,6 +848,7 @@ def ray_queries() -> dict:
         "geo_moran_i": geo_moran_i,
         "geo_gi_star": geo_gi_star,
         "geo_kde_heatmap": geo_kde_heatmap,
+        "geo_ripley_k": geo_ripley_k,
     }
 
 
@@ -1044,6 +1050,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_kde_heatmap": oracle_sql.kde_heatmap_sql(
             d, CELL_RES, geostats.KDE_CUTOFF_KM,
             geostats.LAT_STEP, geostats.LON_STEP),
+        "geo_ripley_k": oracle_sql.ripley_k_sql(
+            d, _geocluster().EPS_KM, _geocluster().RIPLEY_BINS),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

@@ -102,3 +102,33 @@ def test_kde_cutoff_fits_window():
     """The documented coverage bound: cutoff < 1.5 res-8 cell heights."""
     cell_height_km = geostats.LAT_STEP * 111.195
     assert geostats.KDE_CUTOFF_KM < 1.5 * cell_height_km
+
+
+def test_ripley_k_brute(ray_session):
+    """Cumulative pair counts vs an all-pairs brute force on the same
+    deduped named-CTV point set; monotone non-decreasing curve; the
+    normalizer is exactly 2*cnt/n^2."""
+    from osmlint import geocluster
+    d = synth.generate(SF)
+    con = duckdb.connect()
+    pts = con.execute(f"""
+      SELECT lat, lon
+      FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY seq DESC) AS rn
+            FROM read_parquet('{d}/flat.parquet') f
+            WHERE map_slug='serbia_pbf'
+              AND place IN ('city','town','village')
+              AND name IS NOT NULL) WHERE rn=1""").df()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    n = len(lat)
+    dist = geo.haversine_km(lat[:, None], lon[:, None],
+                            lat[None, :], lon[None, :])
+    dist = np.floor(dist * 1e6 + 0.5) / 1e6
+    iu = np.triu_indices(n, k=1)
+    got = geocluster.ripley_k(d)
+    assert got["r_km"].tolist() == list(geocluster.RIPLEY_BINS)
+    for r, cnt, koa in zip(got["r_km"], got["n_pairs"], got["k_over_a"]):
+        expect = int((dist[iu] <= r).sum())
+        assert cnt == expect
+        assert koa == (2.0 * cnt) / (n * n)
+    assert (np.diff(got["n_pairs"].to_numpy()) >= 0).all()
