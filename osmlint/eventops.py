@@ -495,3 +495,69 @@ def daily_trend(sf_dir: str) -> pd.DataFrame:
         "slope": np.floor(slope * 1e6 + 0.5) / 1e6,
         "intercept": np.floor(intercept * 1e6 + 0.5) / 1e6})
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# semi-structured payload extraction (JSON props column)
+# ---------------------------------------------------------------------------
+
+#: compiled once at import; pandas .str.extract runs it in C per block —
+#: no per-row json.loads in the hot path.  The pattern is deliberately
+#: the SAME regex the oracle runs (DuckDB regexp_extract), so the
+#: extraction semantics are mirrored, not merely equivalent: only an
+#: unquoted integer value of a top-level-looking "k" key is extracted.
+PROPS_K_RE = r'"k"\s*:\s*(-?\d+)'
+
+
+def props_extract(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type stats of the integer ``k`` field parsed out of the
+    JSON ``props`` payload — the semi-structured-extraction stage every
+    event pipeline needs before typed analytics.
+
+    Shape: one streaming pass; a compiled vectorized regex pulls ``k``
+    per block (C regex over the string column, never ``json.loads`` per
+    row), a per-batch groupby folds each block to <= #event_types rows
+    of integer partials (n, sum, min, max), and the global reduce is a
+    bounded groupby.  Rows whose props lack an integer ``k`` are
+    excluded from the stats (and from ``n_with_k``), mirrored by the
+    oracle's regexp NULL semantics."""
+    from ray.data.aggregate import Max, Min
+    ds = read_events(sf_dir, columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        k = pd.to_numeric(
+            df["props"].str.extract(PROPS_K_RE, expand=False),
+            errors="coerce")
+        df = df.assign(k=k)[k.notna()]
+        if not len(df):
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_with_k": pa.array([], type=pa.int64()),
+                "k_sum": pa.array([], type=pa.int64()),
+                "k_min": pa.array([], type=pa.int64()),
+                "k_max": pa.array([], type=pa.int64())})
+        g = df.groupby("event_type", sort=False)["k"] \
+            .agg(n_with_k="size", k_sum="sum", k_min="min", k_max="max") \
+            .reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], type=pa.string()),
+            "n_with_k": pa.array(g["n_with_k"].to_numpy(np.int64)),
+            "k_sum": pa.array(g["k_sum"].to_numpy(np.int64)),
+            "k_min": pa.array(g["k_min"].to_numpy(np.int64)),
+            "k_max": pa.array(g["k_max"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_with_k", alias_name="n_with_k"),
+                      Sum("k_sum", alias_name="k_sum"),
+                      Min("k_min", alias_name="k_min"),
+                      Max("k_max", alias_name="k_max"))
+           .to_pandas())
+    for c in ("n_with_k", "k_sum", "k_min", "k_max"):
+        agg[c] = agg[c].astype(np.int64)
+    # one closed-form float per bounded output row, mirrored in SQL
+    agg["k_avg"] = agg["k_sum"].to_numpy(np.float64) \
+        / agg["n_with_k"].to_numpy(np.float64)
+    return agg[["event_type", "n_with_k", "k_sum", "k_min", "k_max",
+                "k_avg"]].sort_values("event_type").reset_index(drop=True)

@@ -2525,3 +2525,56 @@ np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM named)
 SELECT c.r_km, c.n_pairs,
        (2.0 * CAST(c.n_pairs AS DOUBLE)) / (np.n * np.n) AS k_over_a
 FROM cnt c, np ORDER BY c.r_km"""
+
+
+def props_extract_sql() -> str:
+    """Integer ``k`` pulled from the JSON props payload with the SAME
+    regex the engine compiles (``eventops.PROPS_K_RE``) — regexp
+    no-match yields NULL, excluded from every aggregate; the closed-form
+    avg mirrors the engine's double division."""
+    return r"""
+WITH ext AS (
+  SELECT event_type,
+         CAST(nullif(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS k_avg
+FROM ext
+WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type"""
+
+
+def corpus_split_leakfree_sql(tau: float, train_hex: str,
+                              val_hex: str) -> str:
+    """Cluster-aware split: the ``dedup_clusters_sql`` recursive
+    min-label closure supplies each clustered doc's representative; the
+    split key is coalesce(rep, doc_id) pushed through the identical
+    md5-hex thresholds as ``corpus_split_sql``."""
+    return f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_sql(tau)}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+nodes AS (SELECT a AS n FROM edges UNION SELECT b AS n FROM edges),
+cc(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT CASE WHEN e.a = cc.n THEN e.b ELSE e.a END AS n, cc.l AS l
+  FROM cc JOIN edges e ON e.a = cc.n OR e.b = cc.n
+),
+lab AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM cc GROUP BY n),
+keyed AS (
+  SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id)
+SELECT doc_id, split_key,
+       CASE WHEN h < '{train_hex}' THEN 'train'
+            WHEN h < '{val_hex}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, split_key,
+             substr(md5(CAST(split_key AS VARCHAR)), 1, 8) AS h
+      FROM keyed)
+ORDER BY doc_id"""

@@ -355,6 +355,16 @@ def corpus_split(sf_dir: str):
     return textops.corpus_split(sf_dir)
 
 
+def corpus_split_leakfree(sf_dir: str):
+    from . import textops
+    return textops.corpus_split_leakfree(sf_dir)
+
+
+def events_props_extract(sf_dir: str):
+    from . import eventops
+    return eventops.props_extract(sf_dir)
+
+
 def decontaminate(sf_dir: str):
     from . import textops
     return textops.decontaminate(sf_dir)
@@ -849,6 +859,8 @@ def ray_queries() -> dict:
         "geo_gi_star": geo_gi_star,
         "geo_kde_heatmap": geo_kde_heatmap,
         "geo_ripley_k": geo_ripley_k,
+        "corpus_split_leakfree": corpus_split_leakfree,
+        "events_props_extract": events_props_extract,
     }
 
 
@@ -1052,6 +1064,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             geostats.LAT_STEP, geostats.LON_STEP),
         "geo_ripley_k": oracle_sql.ripley_k_sql(
             d, _geocluster().EPS_KM, _geocluster().RIPLEY_BINS),
+        "corpus_split_leakfree": oracle_sql.corpus_split_leakfree_sql(
+            0.5, _textops()._SPLIT_TRAIN_HEX, _textops()._SPLIT_VAL_HEX),
+        "events_props_extract": oracle_sql.props_extract_sql(),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

@@ -3180,3 +3180,56 @@ def corpus_weighted_sample(sf_dir: str,
                             kind="stable").head(k).copy()
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# leakage-free split: near-dup clusters never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+def corpus_split_leakfree(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+    """Cluster-aware train/val/test assignment: near-duplicate documents
+    NEVER straddle a split boundary (a near-dup of a training doc inside
+    the eval split is exactly the leakage dedup exists to prevent — Lee
+    et al., ACL'22).  The split key is the doc's near-dup
+    connected-component representative (``dedup_clusters``' min-doc_id
+    ``cluster_id``; the doc's own id when unclustered), pushed through
+    the SAME md5-hex thresholds as ``corpus_split`` — an unclustered
+    corpus therefore degrades to exactly ``corpus_split``.
+
+    Shape: the label table is bounded by the verified-dup volume, so it
+    broadcasts once via ``ray.put`` as two sorted int64 arrays and the
+    remap is a vectorized ``searchsorted`` inside the one streaming pass
+    over doc ids (the ``dedup_apply`` broadcast rule; at a drop volume
+    past ~16M ids the same distributed left-join path applies).  The
+    per-row md5 of the decimal key is the oracle-pinned cost
+    ``corpus_split`` already pays."""
+    labels = dedup_clusters(sf_dir, tau)
+    lab = labels.sort_values("doc_id")
+    members = lab["doc_id"].to_numpy(np.int64)
+    reps = lab["cluster_id"].to_numpy(np.int64)
+    ref = ray.put((members, reps))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mem, rep = ray.get(ref)
+        key = ids.copy()
+        if len(mem):
+            pos = np.searchsorted(mem, ids)
+            pos_c = np.minimum(pos, len(mem) - 1)
+            hit = mem[pos_c] == ids
+            key[hit] = rep[pos_c[hit]]
+        h8 = np.array([hashlib.md5(str(k).encode()).hexdigest()[:8]
+                       for k in key.tolist()])
+        split = np.where(h8 < _SPLIT_TRAIN_HEX, "train",
+                         np.where(h8 < _SPLIT_VAL_HEX, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids),
+                         "split_key": pa.array(key),
+                         "split": pa.array(split, type=pa.string())})
+
+    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["split_key"] = df["split_key"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
