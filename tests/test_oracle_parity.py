@@ -138,3 +138,47 @@ def test_r4_ops_oracle_parity_sf01(ray_session, name):
     assert list(g.columns) == list(e.columns)
     assert len(g) == len(e) and len(g) > 0
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# round-4 third-session additions: parity at sf0.1 (10x the driver gate
+# — grid spreads, the eps-pair mine, the label broadcast and the regex
+# extraction all cross block boundaries here)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not __import__("os").path.exists(_EVENTS_SF01),
+                    reason="no sf0.1 data")
+@pytest.mark.parametrize("name", [
+    "geo_moran_i", "geo_gi_star", "geo_kde_heatmap", "geo_ripley_k",
+    "corpus_split_leakfree", "events_props_extract"])
+def test_r4c_ops_oracle_parity_sf01(ray_session, name):
+    import duckdb
+
+    from osmlint import geocluster, geostats, oracle_sql, synth, textops
+    from osmlint import queries as qmod
+    got = qmod.ray_queries()[name](_EVENTS_SF01)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{_EVENTS_SF01}/{t}.parquet')")
+    d = synth.generate(_EVENTS_SF01)
+    res = qmod.CELL_RES
+    sql = {
+        "geo_moran_i": oracle_sql.moran_i_sql(d, res),
+        "geo_gi_star": oracle_sql.gi_star_sql(d, res),
+        "geo_kde_heatmap": oracle_sql.kde_heatmap_sql(
+            d, res, geostats.KDE_CUTOFF_KM,
+            geostats.LAT_STEP, geostats.LON_STEP),
+        "geo_ripley_k": oracle_sql.ripley_k_sql(
+            d, geocluster.EPS_KM, geocluster.RIPLEY_BINS),
+        "corpus_split_leakfree": oracle_sql.corpus_split_leakfree_sql(
+            0.5, textops._SPLIT_TRAIN_HEX, textops._SPLIT_VAL_HEX),
+        "events_props_extract": oracle_sql.props_extract_sql(),
+    }[name]
+    exp = con.execute(sql).df()
+    g, e = _events_canon(got), _events_canon(exp)
+    assert list(g.columns) == list(e.columns)
+    assert len(g) == len(e) and len(g) > 0
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
