@@ -3186,7 +3186,21 @@ def corpus_weighted_sample(sf_dir: str,
 # leakage-free split: near-dup clusters never straddle train/val/test
 # ---------------------------------------------------------------------------
 
-def corpus_split_leakfree(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
+def _split_assign(ids: np.ndarray, key: np.ndarray) -> pa.Table:
+    """md5-hex 80/10/10 assignment of ``key``, reported per doc — the
+    oracle-pinned function ``corpus_split`` applies to the raw doc_id."""
+    h8 = np.array([hashlib.md5(str(k).encode()).hexdigest()[:8]
+                   for k in key.tolist()])
+    split = np.where(h8 < _SPLIT_TRAIN_HEX, "train",
+                     np.where(h8 < _SPLIT_VAL_HEX, "val", "test"))
+    return pa.table({"doc_id": pa.array(ids),
+                     "split_key": pa.array(key),
+                     "split": pa.array(split, type=pa.string())})
+
+
+def corpus_split_leakfree(sf_dir: str, tau: float = 0.5,
+                          broadcast_max: int = DROP_BROADCAST_MAX,
+                          num_partitions: int = 4) -> pd.DataFrame:
     """Cluster-aware train/val/test assignment: near-duplicate documents
     NEVER straddle a split boundary (a near-dup of a training doc inside
     the eval split is exactly the leakage dedup exists to prevent — Lee
@@ -3196,40 +3210,59 @@ def corpus_split_leakfree(sf_dir: str, tau: float = 0.5) -> pd.DataFrame:
     the SAME md5-hex thresholds as ``corpus_split`` — an unclustered
     corpus therefore degrades to exactly ``corpus_split``.
 
-    Shape: the label table is bounded by the verified-dup volume, so it
-    broadcasts once via ``ray.put`` as two sorted int64 arrays and the
-    remap is a vectorized ``searchsorted`` inside the one streaming pass
-    over doc ids (the ``dedup_apply`` broadcast rule; at a drop volume
-    past ~16M ids the same distributed left-join path applies).  The
-    per-row md5 of the decimal key is the oracle-pinned cost
+    Two remap paths, the ``dedup_apply`` rule:
+
+    * label volume <= ``broadcast_max``: one ``ray.put`` of two sorted
+      int64 arrays, vectorized ``searchsorted`` remap inside the one
+      streaming pass over doc ids (no shuffle at all);
+    * larger (a heavy-dup corpus labels a large fraction of itself):
+      distributed LEFT OUTER join of the doc-id stream against the
+      label Dataset — two narrow int64 columns riding the shuffle, the
+      labels never visit the driver.
+
+    The per-row md5 of the decimal key is the oracle-pinned cost
     ``corpus_split`` already pays."""
-    labels = dedup_clusters(sf_dir, tau)
-    lab = labels.sort_values("doc_id")
-    members = lab["doc_id"].to_numpy(np.int64)
-    reps = lab["cluster_id"].to_numpy(np.int64)
-    ref = ray.put((members, reps))
+    import pyarrow.compute as pc
+    clusters = dedup_clusters(sf_dir, tau, as_dataset=True)
+    labels = clusters.select_columns(["doc_id", "cluster_id"]) \
+        .materialize()
+    n_lab = labels.count()
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"])
 
-    def assign(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        mem, rep = ray.get(ref)
-        key = ids.copy()
-        if len(mem):
-            pos = np.searchsorted(mem, ids)
-            pos_c = np.minimum(pos, len(mem) - 1)
-            hit = mem[pos_c] == ids
-            key[hit] = rep[pos_c[hit]]
-        h8 = np.array([hashlib.md5(str(k).encode()).hexdigest()[:8]
-                       for k in key.tolist()])
-        split = np.where(h8 < _SPLIT_TRAIN_HEX, "train",
-                         np.where(h8 < _SPLIT_VAL_HEX, "val", "test"))
-        return pa.table({"doc_id": pa.array(ids),
-                         "split_key": pa.array(key),
-                         "split": pa.array(split, type=pa.string())})
+    if n_lab <= broadcast_max:
+        lab = labels.to_pandas().sort_values("doc_id")
+        ref = ray.put((lab["doc_id"].to_numpy(np.int64),
+                       lab["cluster_id"].to_numpy(np.int64)))
 
-    df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+        def assign(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            mem, rep = ray.get(ref)
+            key = ids.copy()
+            if len(mem):
+                pos = np.searchsorted(mem, ids)
+                pos_c = np.minimum(pos, len(mem) - 1)
+                hit = mem[pos_c] == ids
+                key[hit] = rep[pos_c[hit]]
+            return _split_assign(ids, key)
+
+        df = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    else:
+        num_partitions = max(1, min(num_partitions, n_lab // 256))
+        joined = ds.join(labels, "left_outer", num_partitions,
+                         on=("doc_id",), right_on=("doc_id",))
+
+        def assign_joined(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            key = pc.coalesce(batch["cluster_id"].cast(pa.int64()),
+                              batch["doc_id"]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return _split_assign(ids, key)
+
+        df = joined.map_batches(assign_joined,
+                                batch_format="pyarrow").to_pandas()
     df["doc_id"] = df["doc_id"].astype(np.int64)
     df["split_key"] = df["split_key"].astype(np.int64)
     return df.sort_values("doc_id").reset_index(drop=True)

@@ -82,3 +82,10 @@ def test_props_regex_excludes_malformed():
     assert k.notna().tolist() == [True, False, False, True, True,
                                   False, False]
     assert k[0] == 7 and k[4] == -3
+
+
+def test_leakfree_join_path_matches_broadcast(ray_session, leakfree):
+    """broadcast_max=0 forces the distributed left-join remap; the
+    assignment must be identical to the broadcast path."""
+    joined = textops.corpus_split_leakfree(SF, broadcast_max=0)
+    pd.testing.assert_frame_equal(joined, leakfree)
