@@ -713,3 +713,147 @@ def ripley_k(data_dir: str, *, map_slug: str = "serbia_pbf",
     out["k_over_a"] = (2.0 * out["n_pairs"].to_numpy(np.float64)) \
         / (n * n)
     return out.sort_values("r_km").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# empirical semivariogram + nearest-neighbor stats (eps-pair consumers)
+# ---------------------------------------------------------------------------
+
+#: semivariogram distance-bin edges — bins are (prev, cur] on the 6-dp
+#: rounded distance; must stay <= the mining eps (same rule as Ripley).
+VARIO_BINS = RIPLEY_BINS
+
+
+def _node_values(data_dir: str, *, map_slug: str) -> tuple:
+    """Sorted (node, value) arrays of the deduped named-CTV points —
+    value is the CHARACTER length of the place name (code points, the
+    same count DuckDB's ``length(varchar)`` returns).  The named-CTV
+    projection is a sliver of the corpus (named city/town/village rows
+    only), so the map broadcasts once via ``ray.put``; a corpus whose
+    named-point universe outgrew worker heaps would switch this to the
+    ``dedup_apply`` distributed-join rule."""
+    pts = named_ctv_deduped(data_dir, map_slug=map_slug) \
+        .map_batches(
+            lambda b: pa.table({
+                "node": _to_nodes(b)["node"],
+                "val": pc.utf8_length(b["name"]).cast(pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+    pts = pts.sort_values("node")
+    return (pts["node"].to_numpy(np.int64), pts["val"].to_numpy(np.int64))
+
+
+def semivariogram(data_dir: str, *, map_slug: str = "serbia_pbf",
+                  eps_km: float = EPS_KM, res: int = RES,
+                  group_res: int = GROUP_RES,
+                  bins: tuple = VARIO_BINS) -> pd.DataFrame:
+    """Empirical semivariogram of name length over the deduped
+    named-CTV points: gamma(h) = sum (v_a - v_b)^2 / (2 * n_pairs)
+    for unordered point pairs whose 6-dp rounded great-circle distance
+    falls in bin (prev_edge, edge] — the classic Matheron estimator
+    binned by distance band.  Rising gamma(h) means nearby places have
+    more similar names than distant ones (spatial dependence of the
+    attribute), the attribute-valued companion to Ripley's K.
+
+    Shape: pairs come from the shared ``mined_eps_pairs`` cache (one
+    corpus mine per driver sweep); per-pair values arrive via ONE
+    broadcast node->value map (never a shuffle of the pair stream);
+    per-batch bin partials are <= len(bins) integer rows (squared-diff
+    sums are exact int64), and only non-empty bins are emitted so the
+    float division cannot see a zero denominator.  Nothing pair-shaped
+    reaches the driver."""
+    assert max(bins) <= eps_km, "bins beyond the mining eps see no pairs"
+    mined = mined_eps_pairs(data_dir, map_slug=map_slug, eps_km=eps_km,
+                            res=res, group_res=group_res)
+    ref = ray.put(_node_values(data_dir, map_slug=map_slug))
+    edges = np.asarray(bins, dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nodes, vals = ray.get(ref)
+        t = b.filter(pc.less_equal(b["dist_km"], float(edges[-1])))
+        if t.num_rows == 0:
+            return pa.table({"r_km": pa.array([], type=pa.float64()),
+                             "n_pairs": pa.array([], type=pa.int64()),
+                             "sq_sum": pa.array([], type=pa.int64())})
+        d = t["dist_km"].to_numpy(zero_copy_only=False)
+        va = vals[np.searchsorted(nodes,
+                                  t["doc_a"].to_numpy(zero_copy_only=False))]
+        vb = vals[np.searchsorted(nodes,
+                                  t["doc_b"].to_numpy(zero_copy_only=False))]
+        sq = (va - vb) ** 2
+        bi = np.searchsorted(edges, d, side="left")
+        uniq, inv = np.unique(bi, return_inverse=True)
+        return pa.table({
+            "r_km": pa.array(edges[uniq]),
+            "n_pairs": pa.array(np.bincount(inv).astype(np.int64)),
+            "sq_sum": pa.array(np.bincount(inv, weights=sq)
+                               .astype(np.int64))})
+
+    agg = (mined.map_batches(partial, batch_format="pyarrow")
+           .groupby("r_km")
+           .aggregate(rd.aggregate.Sum("n_pairs", alias_name="n_pairs"),
+                      rd.aggregate.Sum("sq_sum", alias_name="sq_sum"))
+           .to_pandas())
+    agg["n_pairs"] = agg["n_pairs"].astype(np.int64)
+    agg["sq_sum"] = agg["sq_sum"].astype(np.int64)
+    agg["gamma"] = agg["sq_sum"].map(float) \
+        / (2.0 * agg["n_pairs"].map(float))
+    return agg[["r_km", "n_pairs", "sq_sum", "gamma"]] \
+        .sort_values("r_km").reset_index(drop=True)
+
+
+def nn_stats(data_dir: str, *, map_slug: str = "serbia_pbf",
+             eps_km: float = EPS_KM, res: int = RES,
+             group_res: int = GROUP_RES) -> pd.DataFrame:
+    """Nearest-neighbor distance statistics within the eps band over
+    the deduped named-CTV points: each point's NN distance is the min
+    6-dp rounded great-circle distance among its eps-pairs (points with
+    no neighbor inside eps are counted as ``n_isolated`` — the border
+    term a bounded-radius NN search cannot see, reported rather than
+    hidden).  The Clark-Evans-style aggregate row carries n_points,
+    n_with_nn, n_isolated and the min/max/mean NN distance.
+
+    Shape: eps-pairs from the shared cache, both directions emitted as
+    (node, micro-km int64); per-node min runs through the bounded
+    ``_REDUCE_BUCKETS`` node-hash reduce (never a node-cardinality
+    aggregate), each bucket group emits ONE partial (cnt, sum, min,
+    max) row, and the driver combines <= 256 partials.  All distributed
+    sums are integers (micro-km), so summation order cannot matter;
+    the float conversions happen once on the final row with the same
+    expression tree as the oracle."""
+    mined = mined_eps_pairs(data_dir, map_slug=map_slug, eps_km=eps_km,
+                            res=res, group_res=group_res)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less_equal(b["dist_km"], eps_km))
+        d = t["dist_km"].to_numpy(zero_copy_only=False)
+        micro = np.floor(d * 1e6 + 0.5).astype(np.int64)
+        node = np.concatenate([t["doc_a"].to_numpy(zero_copy_only=False),
+                               t["doc_b"].to_numpy(zero_copy_only=False)])
+        dm = np.concatenate([micro, micro])
+        return pa.table({"node": pa.array(node),
+                         "dm": pa.array(dm),
+                         "_b": pa.array(_bucket_of(node))})
+
+    def group_min(g: pd.DataFrame) -> pa.Table:
+        nn = g.groupby("node")["dm"].min()
+        return pa.table({
+            "cnt": pa.array([np.int64(len(nn))]),
+            "s": pa.array([np.int64(nn.to_numpy(np.int64).sum())]),
+            "mn": pa.array([np.int64(nn.min())]),
+            "mx": pa.array([np.int64(nn.max())])})
+
+    parts = (mined.map_batches(both_dirs, batch_format="pyarrow")
+             .groupby("_b").map_groups(group_min, batch_format="pandas")
+             .to_pandas())
+    n_points = int(named_ctv_deduped(data_dir, map_slug=map_slug).count())
+    cnt = int(parts["cnt"].sum())
+    s = int(parts["s"].sum())
+    mn = int(parts["mn"].min()) if cnt else 0
+    mx = int(parts["mx"].max()) if cnt else 0
+    return pd.DataFrame({
+        "n_points": pd.array([n_points], dtype="int64"),
+        "n_with_nn": pd.array([cnt], dtype="int64"),
+        "n_isolated": pd.array([n_points - cnt], dtype="int64"),
+        "nn_min_km": [float(mn) / 1e6],
+        "nn_max_km": [float(mx) / 1e6],
+        "nn_mean_km": [(float(s) / 1e6) / float(cnt)] if cnt else [0.0]})

@@ -2527,6 +2527,98 @@ SELECT c.r_km, c.n_pairs,
 FROM cnt c, np ORDER BY c.r_km"""
 
 
+def _named_ctv_cte(d: str, *, with_val: bool = False) -> str:
+    """Deduped named-CTV `named` CTE shared by the eps-pair oracles
+    (mirrors ``dupnames.named_ctv_deduped`` + ``geocluster._to_nodes``);
+    ``with_val`` adds the character-length attribute the semivariogram
+    measures (DuckDB ``length(varchar)`` counts code points — the same
+    count ``pyarrow.compute.utf8_length`` returns)."""
+    val = ",\n         CAST(length(name) AS BIGINT) AS val" if with_val \
+        else ""
+    return f"""flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+named AS (
+  SELECT osm_id*4 + CASE entity_type WHEN 'node' THEN 0
+                                     WHEN 'way' THEN 1 ELSE 2 END AS node,
+         lat, lon{val}
+  FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY seq DESC) AS rn
+        FROM flat f
+        WHERE map_slug = 'serbia_pbf'
+          AND place IN ('city','town','village') AND name IS NOT NULL)
+  WHERE rn = 1)"""
+
+
+def semivariogram_sql(d: str, eps_km: float, bins: tuple) -> str:
+    """Matheron semivariogram of name length over the same deduped
+    named-CTV pair set as ``ripley_k_sql`` (lat-band prefilter,
+    haversine 6-dp floor-rounded BEFORE the gate); each pair lands in
+    the smallest bin edge >= dist (the engine's ``searchsorted``
+    side='left'), only non-empty bins survive (rows come FROM pairs),
+    and gamma is the identical expression tree
+    CAST(sq_sum AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE)) over
+    exact-integer sums — no float rounding needed."""
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = eps_km / 111.0
+    vals = ", ".join(f"(CAST({b!r} AS DOUBLE))" for b in bins)
+    return f"""
+WITH {_named_ctv_cte(d, with_val=True)},
+pairs AS (
+  SELECT floor({hav} * 1e6 + 0.5) / 1e6 AS dist,
+         (a.val - b.val) * (a.val - b.val) AS sq
+  FROM named a JOIN named b
+    ON b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+  WHERE a.node < b.node
+    AND floor({hav} * 1e6 + 0.5) / 1e6 <= {max(bins)!r}),
+bins(r_km) AS (VALUES {vals}),
+binned AS (
+  SELECT (SELECT min(bn.r_km) FROM bins bn WHERE bn.r_km >= p.dist)
+           AS r_km,
+         p.sq
+  FROM pairs p)
+SELECT r_km, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(sq) AS BIGINT) AS sq_sum,
+       CAST(sum(sq) AS DOUBLE) / (2.0 * CAST(count(*) AS DOUBLE)) AS gamma
+FROM binned GROUP BY 1 ORDER BY 1"""
+
+
+def nn_stats_sql(d: str, eps_km: float) -> str:
+    """Nearest-neighbor stats within the eps band: per-node min of the
+    integer micro-km distance over BOTH directions of the (rounded-gate)
+    eps-pair set, then one aggregate row — counts stay integers, the
+    float conversions mirror the engine's single final-row expression
+    tree (``/ 1e6`` then ``/ cnt``), and the no-pairs degenerate case
+    coalesces to the engine's zeros."""
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band = eps_km / 111.0
+    return f"""
+WITH {_named_ctv_cte(d)},
+pairs AS (
+  SELECT a.node AS na, b.node AS nb,
+         CAST(floor((floor({hav} * 1e6 + 0.5) / 1e6) * 1e6 + 0.5)
+              AS BIGINT) AS dm
+  FROM named a JOIN named b
+    ON b.lat BETWEEN a.lat - {band!r} AND a.lat + {band!r}
+  WHERE a.node < b.node
+    AND floor({hav} * 1e6 + 0.5) / 1e6 <= {eps_km!r}),
+dirs AS (SELECT na AS node, dm FROM pairs
+         UNION ALL SELECT nb AS node, dm FROM pairs),
+nn AS (SELECT node, min(dm) AS dm FROM dirs GROUP BY node),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM named),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+               CAST(coalesce(sum(dm), 0) AS BIGINT) AS s,
+               CAST(coalesce(min(dm), 0) AS BIGINT) AS mn,
+               CAST(coalesce(max(dm), 0) AS BIGINT) AS mx
+        FROM nn)
+SELECT np.n AS n_points, agg.cnt AS n_with_nn,
+       np.n - agg.cnt AS n_isolated,
+       CAST(agg.mn AS DOUBLE) / 1e6 AS nn_min_km,
+       CAST(agg.mx AS DOUBLE) / 1e6 AS nn_max_km,
+       CASE WHEN agg.cnt > 0
+            THEN (CAST(agg.s AS DOUBLE) / 1e6) / CAST(agg.cnt AS DOUBLE)
+            ELSE 0.0 END AS nn_mean_km
+FROM np, agg"""
+
+
 def props_extract_sql() -> str:
     """Integer ``k`` pulled from the JSON props payload with the SAME
     regex the engine compiles (``eventops.PROPS_K_RE``) — regexp

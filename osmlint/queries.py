@@ -216,6 +216,18 @@ def geo_ripley_k(sf_dir: str) -> pd.DataFrame:
     return _geocluster().ripley_k(_synth(sf_dir))
 
 
+def geo_semivariogram(sf_dir: str) -> pd.DataFrame:
+    """Matheron semivariogram of name length over the named-CTV
+    points (attribute-valued spatial-dependence companion to K)."""
+    return _geocluster().semivariogram(_synth(sf_dir))
+
+
+def geo_nn_stats(sf_dir: str) -> pd.DataFrame:
+    """Nearest-neighbor distance stats within the eps band (Clark-Evans
+    style aggregate, isolated points counted not hidden)."""
+    return _geocluster().nn_stats(_synth(sf_dir))
+
+
 def knn_dup_names(sf_dir: str) -> rd.Dataset:
     return dupnames.dup_name_pairs(_synth(sf_dir))
 
@@ -861,6 +873,8 @@ def ray_queries() -> dict:
         "geo_ripley_k": geo_ripley_k,
         "corpus_split_leakfree": corpus_split_leakfree,
         "events_props_extract": events_props_extract,
+        "geo_semivariogram": geo_semivariogram,
+        "geo_nn_stats": geo_nn_stats,
     }
 
 
@@ -1067,6 +1081,9 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "corpus_split_leakfree": oracle_sql.corpus_split_leakfree_sql(
             0.5, _textops()._SPLIT_TRAIN_HEX, _textops()._SPLIT_VAL_HEX),
         "events_props_extract": oracle_sql.props_extract_sql(),
+        "geo_semivariogram": oracle_sql.semivariogram_sql(
+            d, _geocluster().EPS_KM, _geocluster().VARIO_BINS),
+        "geo_nn_stats": oracle_sql.nn_stats_sql(d, _geocluster().EPS_KM),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

@@ -132,3 +132,72 @@ def test_ripley_k_brute(ray_session):
         assert cnt == expect
         assert koa == (2.0 * cnt) / (n * n)
     assert (np.diff(got["n_pairs"].to_numpy()) >= 0).all()
+
+
+def _named_pts(d):
+    con = duckdb.connect()
+    return con.execute(f"""
+      SELECT lat, lon, CAST(length(name) AS BIGINT) AS val
+      FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY seq DESC) AS rn
+            FROM read_parquet('{d}/flat.parquet') f
+            WHERE map_slug='serbia_pbf'
+              AND place IN ('city','town','village')
+              AND name IS NOT NULL) WHERE rn=1""").df()
+
+
+def test_semivariogram_brute(ray_session):
+    """Per-bin squared-diff sums vs an all-pairs brute force; the bin
+    partition of the pair set is exact (bin sums == cumulative Ripley
+    counts at the last edge) and gamma is sq_sum/(2*n_pairs)."""
+    from osmlint import geocluster
+    d = synth.generate(SF)
+    pts = _named_pts(d)
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    val = pts["val"].to_numpy(np.int64)
+    dist = geo.haversine_km(lat[:, None], lon[:, None],
+                            lat[None, :], lon[None, :])
+    dist = np.floor(dist * 1e6 + 0.5) / 1e6
+    iu = np.triu_indices(len(lat), k=1)
+    d_, sq = dist[iu], (val[:, None] - val[None, :])[iu] ** 2
+    got = geocluster.semivariogram(d)
+    edges = np.asarray(geocluster.VARIO_BINS)
+    prev = 0.0
+    for e in edges:
+        m = (d_ > prev) & (d_ <= e)
+        row = got[got["r_km"] == e]
+        if not m.any():
+            assert row.empty
+        else:
+            assert int(row["n_pairs"].iloc[0]) == int(m.sum())
+            assert int(row["sq_sum"].iloc[0]) == int(sq[m].sum())
+            assert row["gamma"].iloc[0] == \
+                float(sq[m].sum()) / (2.0 * float(m.sum()))
+        prev = e
+    assert int(got["n_pairs"].sum()) == int((d_ <= edges[-1]).sum())
+
+
+def test_nn_stats_brute(ray_session):
+    """The aggregate row vs an all-pairs brute force: per-point NN
+    distance inside the eps band, isolated points counted exactly."""
+    from osmlint import geocluster
+    d = synth.generate(SF)
+    pts = _named_pts(d)
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    n = len(lat)
+    dist = geo.haversine_km(lat[:, None], lon[:, None],
+                            lat[None, :], lon[None, :])
+    dist = np.floor(dist * 1e6 + 0.5) / 1e6
+    np.fill_diagonal(dist, np.inf)
+    dist[dist > geocluster.EPS_KM] = np.inf
+    nn = dist.min(axis=1)
+    has = np.isfinite(nn)
+    micro = np.floor(nn[has] * 1e6 + 0.5).astype(np.int64)
+    got = geocluster.nn_stats(d)
+    assert int(got["n_points"].iloc[0]) == n
+    assert int(got["n_with_nn"].iloc[0]) == int(has.sum())
+    assert int(got["n_isolated"].iloc[0]) == int((~has).sum())
+    assert got["nn_min_km"].iloc[0] == float(micro.min()) / 1e6
+    assert got["nn_max_km"].iloc[0] == float(micro.max()) / 1e6
+    assert got["nn_mean_km"].iloc[0] == \
+        (float(micro.sum()) / 1e6) / float(has.sum())

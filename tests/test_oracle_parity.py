@@ -150,7 +150,8 @@ def test_r4_ops_oracle_parity_sf01(ray_session, name):
                     reason="no sf0.1 data")
 @pytest.mark.parametrize("name", [
     "geo_moran_i", "geo_gi_star", "geo_kde_heatmap", "geo_ripley_k",
-    "corpus_split_leakfree", "events_props_extract"])
+    "corpus_split_leakfree", "events_props_extract",
+    "geo_semivariogram", "geo_nn_stats"])
 def test_r4c_ops_oracle_parity_sf01(ray_session, name):
     import duckdb
 
@@ -176,6 +177,9 @@ def test_r4c_ops_oracle_parity_sf01(ray_session, name):
         "corpus_split_leakfree": oracle_sql.corpus_split_leakfree_sql(
             0.5, textops._SPLIT_TRAIN_HEX, textops._SPLIT_VAL_HEX),
         "events_props_extract": oracle_sql.props_extract_sql(),
+        "geo_semivariogram": oracle_sql.semivariogram_sql(
+            d, geocluster.EPS_KM, geocluster.VARIO_BINS),
+        "geo_nn_stats": oracle_sql.nn_stats_sql(d, geocluster.EPS_KM),
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)
