@@ -1090,3 +1090,85 @@ def source_embedding_norms(sf_dir: str) -> pd.DataFrame:
         .groupby("_mb").map_groups(combine, batch_format="pandas") \
         .to_pandas()
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy diversity sampling (farthest-point coreset selection)
+# ---------------------------------------------------------------------------
+
+DIVERSITY_K = 8
+
+_FAR_SCHEMA = pa.schema([("vec_id", pa.int64()),
+                         ("mind", pa.float64()),
+                         ("emb", pa.binary())])
+
+
+def diversity_sample(sf_dir: str, k: int = DIVERSITY_K) -> pd.DataFrame:
+    """Gonzalez k-center greedy (farthest-point) selection over the
+    embeddings — the classic coreset / diversity-sampling pass a
+    training-data pipeline runs to pick maximally-spread exemplars.
+    Seed = lowest vec_id; each round adds the point maximizing its
+    min squared-L2 distance to the chosen set (distance 6-dp
+    floor-rounded BEFORE the min/argmax — the ``pq_topk_adc`` rule, so
+    numpy-vs-SQL summation ulps cannot flip a tie — ties to the lowest
+    vec_id).  Returns ``(step, vec_id, min_d2)``, step 0 = seed.
+
+    Shape: the chosen set (<= k rows) broadcasts via ``ray.put`` each
+    round; every batch computes its distances vectorized and emits ONE
+    winner row, so the driver reduces #blocks partials per round — k
+    streaming passes total, no shuffle, no N x N matrix anywhere.  Work
+    is O(k * N * dim); for k beyond ~64 switch the per-batch kernel to
+    an incremental min (cache the previous round's per-point min and
+    only score the ONE new center — same passes, O(N * dim) each)."""
+    ds = read_embeddings(sf_dir, coalesce=True).materialize()
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _FAR_SCHEMA.empty_table()
+        ids, mat = _batch_matrix(batch)
+        i = int(np.argmin(ids))
+        return pa.table({"vec_id": pa.array([ids[i]]),
+                         "mind": pa.array([0.0]),
+                         "emb": pa.array([mat[i].tobytes()])})
+
+    parts = ds.map_batches(seed_partial,
+                           batch_format="pyarrow").to_pandas()
+    j = int(parts["vec_id"].to_numpy(np.int64).argmin())
+    chosen_ids = [int(parts["vec_id"].iloc[j])]
+    chosen = [np.frombuffer(parts["emb"].iloc[j], np.float64)]
+    rows = [(0, chosen_ids[0], 0.0)]
+
+    def far_partial(batch: pa.Table, *, ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return _FAR_SCHEMA.empty_table()
+        cids, cmat = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        keep = ~np.isin(ids, cids)
+        if not keep.any():
+            return _FAR_SCHEMA.empty_table()
+        ids, mat = ids[keep], mat[keep]
+        d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+        mind = d2.min(axis=1)
+        best = int(np.lexsort((ids, -mind))[0])
+        return pa.table({"vec_id": pa.array([ids[best]]),
+                         "mind": pa.array([mind[best]]),
+                         "emb": pa.array([mat[best].tobytes()])})
+
+    for t in range(1, k):
+        ref = ray.put((np.array(chosen_ids, dtype=np.int64),
+                       np.stack(chosen)))
+        p = ds.map_batches(far_partial, batch_format="pyarrow",
+                           fn_kwargs={"ref": ref}).to_pandas()
+        if p.empty:
+            break                      # fewer than k points exist
+        o = int(np.lexsort((p["vec_id"].to_numpy(np.int64),
+                            -p["mind"].to_numpy(np.float64)))[0])
+        vid = int(p["vec_id"].iloc[o])
+        chosen_ids.append(vid)
+        chosen.append(np.frombuffer(p["emb"].iloc[o], np.float64))
+        rows.append((t, vid, float(p["mind"].iloc[o])))
+    return pd.DataFrame({
+        "step": pd.array([r[0] for r in rows], dtype="int64"),
+        "vec_id": pd.array([r[1] for r in rows], dtype="int64"),
+        "min_d2": [r[2] for r in rows]})

@@ -610,6 +610,108 @@ def geo_cluster_stats(data_dir: str, *, map_slug: str = "serbia_pbf",
     return out.sort_values("cluster_id").reset_index(drop=True)
 
 
+_DIAM_SCHEMA = pa.schema([
+    ("cluster_id", pa.int64()), ("n_points", pa.int64()),
+    ("diam_km", pa.float64()),
+    ("osm_id_a", pa.int64()), ("entity_type_a", pa.string()),
+    ("osm_id_b", pa.int64()), ("entity_type_b", pa.string())])
+
+
+def _diam_group(g: pd.DataFrame) -> pa.Table:
+    """Exact diameter (max pairwise 6-dp haversine) per cluster in the
+    bucket; ties resolve to the lexicographically smallest (node_a,
+    node_b) pair — well-defined because distances are ROUNDED before
+    the argmax (raw numpy-vs-SQL trig ulps cannot reorder ties).
+    Anchors expand in ``_CAND_CHUNK``-candidate chunks so a dense
+    cluster cannot blow a worker's heap; exact diameter is
+    intrinsically O(n^2) per cluster — the documented upgrade path for
+    continent-sized clusters is a convex-hull + rotating-calipers
+    prefilter, not a bigger box."""
+    out = []
+    for cid, grp in g.groupby("cluster_id", sort=False):
+        node = grp["node"].to_numpy(np.int64)
+        order = np.argsort(node)
+        node = node[order]
+        lat = grp["lat"].to_numpy(np.float64)[order]
+        lon = grp["lon"].to_numpy(np.float64)[order]
+        m = len(node)
+        best, na, nb = np.int64(-1), np.int64(0), np.int64(0)
+        step = max(1, _CAND_CHUNK // m)
+        jj = np.arange(m)[None, :]
+        for s in range(0, m, step):
+            e = min(s + step, m)
+            d = geo.haversine_km(lat[s:e, None], lon[s:e, None],
+                                 lat[None, :], lon[None, :])
+            d6 = np.floor(d * 1e6 + 0.5).astype(np.int64)
+            d6[jj <= np.arange(s, e)[:, None]] = -1
+            mx = d6.max() if d6.size else np.int64(-1)
+            if mx < best or mx < 0:
+                continue
+            i, j = np.argwhere(d6 == mx)[0]      # row-major => lexmin
+            ca, cb = node[s + i], node[j]
+            if mx > best or (ca, cb) < (na, nb):
+                best, na, nb = mx, ca, cb
+        out.append((np.int64(cid), np.int64(m), float(best) / 1e6,
+                    na, nb))
+    cid, n, dk, na, nb = (np.array(x) for x in zip(*out))
+    return pa.table({
+        "cluster_id": pa.array(cid.astype(np.int64)),
+        "n_points": pa.array(n.astype(np.int64)),
+        "diam_km": pa.array(dk.astype(np.float64)),
+        "osm_id_a": pa.array(na.astype(np.int64) // 4),
+        "entity_type_a": pa.array(_ETYPE_NAME[na.astype(np.int64) % 4],
+                                  type=pa.string()),
+        "osm_id_b": pa.array(nb.astype(np.int64) // 4),
+        "entity_type_b": pa.array(_ETYPE_NAME[nb.astype(np.int64) % 4],
+                                  type=pa.string())})
+
+
+def geo_cluster_diameter(data_dir: str, *, map_slug: str = "serbia_pbf",
+                         eps_km: float = EPS_KM, min_pts: int = MIN_PTS,
+                         res: int = RES,
+                         group_res: int = GROUP_RES) -> pd.DataFrame:
+    """Exact great-circle diameter of each DBSCAN agglomeration — the
+    max pairwise 6-dp rounded distance among members, with the
+    contributing pair decoded (tie -> lowest (node_a, node_b)).  The
+    spatial-extent companion to ``geo_cluster_stats``'s bbox digest:
+    eps-chained clusters stretch far beyond eps, and the diameter is
+    the honest size measure a bbox diagonal only bounds.
+
+    Shape: rides the cached DBSCAN member table (one clustering per
+    sweep); members join the (node, lat, lon) projection distributed;
+    a cluster-hash bucket reduce colocates each cluster once, and the
+    in-group kernel is chunked vectorized all-pairs — work is
+    sum(n_c^2) over clusters, never corpus-pairs, and the driver sees
+    #clusters rows."""
+    members = geo_clusters(data_dir, map_slug=map_slug, eps_km=eps_km,
+                           min_pts=min_pts, res=res, group_res=group_res)
+    if members.count() == 0:
+        return _DIAM_SCHEMA.empty_table().to_pandas()
+
+    def encode(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        code = df["entity_type"].map(_ETYPE_CODE).to_numpy(np.int64)
+        return pa.table({
+            "node": pa.array(df["osm_id"].to_numpy(np.int64) * 4 + code),
+            "cluster_id": pa.array(df["cluster_id"]
+                                   .to_numpy(np.int64))})
+
+    points = named_ctv_deduped(data_dir, map_slug=map_slug) \
+        .map_batches(_to_nodes, batch_format="pyarrow")
+    np_ = max(1, min(8, members.count() // 50_000 + 1))
+    j = members.map_batches(encode, batch_format="pyarrow") \
+        .join(points, "inner", np_, on=("node",), right_on=("node",))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        c = b["cluster_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_mb", pa.array(_bucket_of(c)))
+
+    out = j.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(_diam_group, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("cluster_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # distance-band spatial self-join (range join)
 # ---------------------------------------------------------------------------

@@ -271,3 +271,150 @@ def kde_heatmap(data_dir: str,
     agg["kde"] = agg["kde_micro"].to_numpy(np.float64) / 1000000.0
     return agg[["cell_id", "n_pts", "kde_micro", "kde"]] \
         .sort_values("cell_id").reset_index(drop=True)
+
+
+def kernel_surface(data_dir: str,
+                   cutoff_km: float = KDE_CUTOFF_KM) -> pd.DataFrame:
+    """Nadaraya-Watson kernel regression of name length at quad-cell
+    centers — the attribute-interpolation companion to ``kde_heatmap``
+    (an IDW-style surface WITHOUT the 1/d^2 singularity: the quartic
+    kernel is bounded, so a point sitting exactly on a center cannot
+    blow up the weight).  For each center within ``cutoff_km`` of a
+    named doc, the doc contributes weight ``(1 - (d/cutoff)^2)^2`` and
+    weighted value ``w * len(name)``; the surface is the weighted mean.
+
+    Same candidate restriction, rounding and quantization discipline as
+    ``kde_heatmap`` (3x3 window provably covers the cutoff; distance
+    6-dp floor-rounded BEFORE the gate; weight quantized to an integer
+    micro-weight BEFORE the sum — and the VALUE-weighted sum is
+    micro_w * val, a product of exact integers), so both distributed
+    sums are order-independent integers and the one float division per
+    output row mirrors the oracle's expression tree exactly.  Integer
+    width: micro_w <= 1e6 and val is a name length, so a cell needs
+    ~9e9 named contributions to stress int64 — beyond that the bounded
+    final reduce switches to Python ints like ``moran_i``."""
+    ds = _decoded(data_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df_ok = batch.filter(batch["name"].is_valid())
+        lat = df_ok["lat"].to_numpy(zero_copy_only=False)
+        lon = df_ok["lon"].to_numpy(zero_copy_only=False)
+        c = df_ok["cell_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        import pyarrow.compute as pc
+        val = pc.utf8_length(df_ok["name"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ix, iy = c % N_SIDE, c // N_SIDE
+        cells, ws, wvs = [], [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < N_SIDE) & (jy >= 0) & (jy < N_SIDE)
+                kx, ky = jx[ok], jy[ok]
+                clat = 90.0 - (ky + 0.5) * LAT_STEP
+                clon = (kx + 0.5) * LON_STEP - 180.0
+                d = geo.haversine_km(lat[ok], lon[ok], clat, clon)
+                d = np.floor(d * 1e6 + 0.5) / 1e6
+                sel = d <= cutoff_km
+                u = d[sel] / cutoff_km
+                t = 1.0 - u * u
+                micro = np.floor(t * t * 1000000.0 + 0.5).astype(np.int64)
+                cells.append(ky[sel] * N_SIDE + kx[sel])
+                ws.append(micro)
+                wvs.append(micro * val[ok][sel])
+        cell_all = np.concatenate(cells) if cells else \
+            np.array([], dtype=np.int64)
+        w_all = np.concatenate(ws) if ws else \
+            np.array([], dtype=np.int64)
+        wv_all = np.concatenate(wvs) if wvs else \
+            np.array([], dtype=np.int64)
+        g = pd.DataFrame({"cell_id": cell_all, "w_micro": w_all,
+                          "wv_micro": wv_all}) \
+            .groupby("cell_id", sort=False) \
+            .agg(w_micro=("w_micro", "sum"), wv_micro=("wv_micro", "sum"),
+                 n_pts=("w_micro", "size")) \
+            .reset_index()
+        return pa.table({
+            "cell_id": pa.array(g["cell_id"].to_numpy(np.int64)),
+            "w_micro": pa.array(g["w_micro"].to_numpy(np.int64)),
+            "wv_micro": pa.array(g["wv_micro"].to_numpy(np.int64)),
+            "n_pts": pa.array(g["n_pts"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("cell_id")
+           .aggregate(Sum("w_micro", alias_name="w_micro"),
+                      Sum("wv_micro", alias_name="wv_micro"),
+                      Sum("n_pts", alias_name="n_pts"))
+           .to_pandas())
+    for col in ("cell_id", "w_micro", "wv_micro", "n_pts"):
+        agg[col] = agg[col].astype(np.int64)
+    # a zero weight sum only happens when EVERY contribution rounded to
+    # micro 0 (all points at the cutoff edge) — filtered on both sides
+    agg = agg[agg["w_micro"] > 0]
+    agg["surface"] = agg["wv_micro"].to_numpy(np.float64) \
+        / agg["w_micro"].to_numpy(np.float64)
+    return agg[["cell_id", "n_pts", "w_micro", "wv_micro", "surface"]] \
+        .sort_values("cell_id").reset_index(drop=True)
+
+
+def bearing_rose(data_dir: str) -> pd.DataFrame:
+    """Orientation histogram (wind-rose) of the corpus around its admin
+    tiles: every doc's initial great-circle bearing TO its nearest tile
+    center (the ``nearest_tile`` argmin — 6-dp-rounded distance, ties to
+    the lowest tile_id), bucketed into eight 45-degree sectors per tile.
+    A tile whose docs cluster in one sector sits off-center in its
+    catchment — the quick diagnostic a tiling engine ships beside the
+    nearest-join itself.
+
+    Determinism: the bearing is 6-dp floor-rounded BEFORE the sector
+    floor-division (the rounded value 360.0 wraps to sector 0 on both
+    sides), so atan2/trig ulps cannot flip a sector boundary.  Shape:
+    tile centers broadcast once; each batch emits <= 30 x 8 integer
+    partial counts keyed by tile_idx*8+sector; one bounded groupby."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum as _Sum
+
+    tiles = pq.read_table(os.path.join(data_dir, "tiles.parquet")) \
+        .to_pandas().sort_values("tile_id")
+    clat = ((tiles["minlat"] + tiles["maxlat"]) / 2.0) \
+        .to_numpy(np.float64)
+    clon = ((tiles["minlon"] + tiles["maxlon"]) / 2.0) \
+        .to_numpy(np.float64)
+    names = tiles["tile_name"].astype(str).tolist()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        dm = np.stack([geo.haversine_km(lat, lon, a, o)
+                       for a, o in zip(clat, clon)], axis=1)
+        dm = np.floor(dm * 1e6 + 0.5) / 1e6
+        idx = np.argmin(dm, axis=1)
+        tl, tn = clat[idx], clon[idx]
+        dlam = np.radians(tn) - np.radians(lon)
+        y = np.sin(dlam) * np.cos(np.radians(tl))
+        x = np.cos(np.radians(lat)) * np.sin(np.radians(tl)) \
+            - np.sin(np.radians(lat)) * np.cos(np.radians(tl)) \
+            * np.cos(dlam)
+        b = np.mod(np.degrees(np.arctan2(y, x)) + 360.0, 360.0)
+        b = np.floor(b * 1e6 + 0.5) / 1e6
+        sector = np.floor(b / 45.0).astype(np.int64)
+        sector[sector == 8] = 0
+        key = idx.astype(np.int64) * 8 + sector
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq),
+                         "n_docs": pa.array(counts.astype(np.int64))})
+
+    agg = (_decoded(data_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(_Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    key = agg["key"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "tile_name": pd.Series(names, dtype=object)
+        .iloc[key // 8].to_numpy(),
+        "sector": key % 8,
+        "n_docs": agg["n_docs"].to_numpy(np.int64)})
+    return out.sort_values(["tile_name", "sector"]) \
+        .reset_index(drop=True)

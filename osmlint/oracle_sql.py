@@ -1307,6 +1307,43 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters
 ORDER BY d.doc_id"""
 
 
+def dedup_apply_quality_sql(tau: float) -> str:
+    """Retained corpus when each near-dup cluster keeps its
+    highest-quality member (quality re-derived with the TEXT_STATS
+    arithmetic — no transcendentals, doubles bit-identical to the Ray
+    kernel; ties to the lowest doc_id)."""
+    return rf"""
+WITH clusters AS ({dedup_clusters_sql(tau)}),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+        AS n_tokens,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS BIGINT)
+        AS punct_cnt,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+        '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT)
+        AS stop_cnt,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+      + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                                / greatest(n_tokens, 1)))
+      AS quality
+  FROM c
+), ranked AS (
+  SELECT cl.doc_id,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY s.quality DESC, cl.doc_id) AS rn
+  FROM clusters cl JOIN scored s ON s.doc_id = cl.doc_id
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+ORDER BY d.doc_id"""
+
+
 def top_quality_docs_sql(n: int) -> str:
     """row_number() OVER (PARTITION BY lang ORDER BY quality DESC,
     doc_id) — quality re-derived with the TEXT_STATS arithmetic (no
@@ -1820,6 +1857,49 @@ SELECT map_slug, osm_id, entity_type, seq, tile_name, dist_km
 FROM ranked WHERE r = 1 ORDER BY map_slug, entity_type, osm_id, seq"""
 
 
+def bearing_rose_sql(d: str) -> str:
+    """Eight-sector bearing histogram per nearest tile: the
+    ``nearest_tile_sql`` argmin (rounded distance, lowest tile_id tie),
+    then the initial-bearing atan2 mirrored term-for-term against the
+    numpy kernel, 6-dp floor-rounded BEFORE the sector floor-division,
+    360.0 wrapping to sector 0 on both sides."""
+    hav = haversine_sql("f.lat", "f.lon", "t.clat", "t.clon")
+    bear = ("degrees(atan2("
+            "sin(radians(clon) - radians(lon)) * cos(radians(clat)), "
+            "cos(radians(lat)) * sin(radians(clat)) "
+            "- sin(radians(lat)) * cos(radians(clat)) "
+            "* cos(radians(clon) - radians(lon))))")
+    return f"""
+WITH flat AS (SELECT * FROM read_parquet({q(d + '/flat.parquet')})),
+tiles AS (SELECT tile_id, tile_name,
+                 (minlat + maxlat) / 2.0 AS clat,
+                 (minlon + maxlon) / 2.0 AS clon
+          FROM read_parquet({q(d + '/tiles.parquet')})),
+dist AS (
+  SELECT f.map_slug, f.osm_id, f.entity_type, f.seq, f.lat, f.lon,
+         t.tile_id, t.tile_name, t.clat, t.clon,
+         floor(({hav}) * 1e6 + 0.5) / 1e6 AS dist_km
+  FROM flat f CROSS JOIN tiles t
+), nearest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY map_slug, entity_type, osm_id, seq
+        ORDER BY dist_km, tile_id) AS r
+    FROM dist) WHERE r = 1
+), bear AS (
+  SELECT tile_name,
+         floor(fmod({bear} + 360.0, 360.0) * 1e6 + 0.5) / 1e6 AS b
+  FROM nearest
+), sect AS (
+  SELECT tile_name,
+         CASE WHEN CAST(floor(b / 45.0) AS BIGINT) = 8 THEN 0
+              ELSE CAST(floor(b / 45.0) AS BIGINT) END AS sector
+  FROM bear
+)
+SELECT tile_name, sector, CAST(count(*) AS BIGINT) AS n_docs
+FROM sect GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def cell_density_smooth_sql(d: str, res: int) -> str:
     """3x3 neighborhood doc counts over the quad-cell grid: per-cell
     counts cross-joined with the 9 offsets, clamped at grid edges,
@@ -2072,6 +2152,44 @@ codes AS (
   WHERE rn = 1)"""
 
 
+def diversity_sample_sql(k: int, dim: int = 64) -> str:
+    """Gonzalez k-center greedy unrolled to k-1 fixed rounds (the
+    ``knn_pagerank`` fixed-iteration CTE-chain pattern): per round, the
+    squared-L2 distance of every unchosen vector to every chosen one —
+    6-dp floor-rounded per (vector, center) BEFORE the min, exactly the
+    engine's order of operations — min'd, then the argmax by (mind
+    DESC, vec_id) joins the chosen set."""
+    parts = [f"""
+ch0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+sel0 AS (SELECT CAST(0 AS BIGINT) AS step, cid AS vec_id,
+                0.0 AS min_d2 FROM ch0)"""]
+    for t in range(1, k):
+        parts.append(f"""
+pd{t} AS MATERIALIZED (
+  SELECT e.vec_id AS vid, c.cid AS cid,
+         floor(sum((CAST(e.embedding[u.i + 1] AS DOUBLE)
+                    - CAST(ce.embedding[u.i + 1] AS DOUBLE))
+                   * (CAST(e.embedding[u.i + 1] AS DOUBLE)
+                      - CAST(ce.embedding[u.i + 1] AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS d2
+  FROM embeddings e
+  CROSS JOIN ch{t - 1} c
+  JOIN embeddings ce ON ce.vec_id = c.cid
+  CROSS JOIN unnest(range({dim})) AS u(i)
+  WHERE e.vec_id NOT IN (SELECT cid FROM ch{t - 1})
+  GROUP BY 1, 2),
+new{t} AS MATERIALIZED (
+  SELECT vid, min(d2) AS mind FROM pd{t} GROUP BY 1
+  ORDER BY mind DESC, vid LIMIT 1),
+ch{t} AS MATERIALIZED (SELECT cid FROM ch{t - 1}
+                       UNION ALL SELECT vid FROM new{t}),
+sel{t} AS (SELECT CAST({t} AS BIGINT) AS step, vid AS vec_id,
+                  mind AS min_d2 FROM new{t})""")
+    sels = " UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(k))
+    return "WITH " + ",".join(parts) + f"""
+SELECT step, vec_id, min_d2 FROM ({sels}) ORDER BY step"""
+
+
 def pq_encode_sql(m: int, ksub: int, dim: int = 64) -> str:
     """PQ codes, one row per (vec, subspace)."""
     return ("WITH " + _pq_cte(m, ksub, dim // m)
@@ -2214,6 +2332,41 @@ SELECT m.cluster_id,
        min(p.lon) AS lon_min, max(p.lon) AS lon_max
 FROM members m JOIN named p ON p.node = m.node
 GROUP BY 1 ORDER BY 1"""
+
+
+def geo_cluster_diameter_sql(d: str, eps_km: float, min_pts: int,
+                             rounds: int = 48) -> str:
+    """Exact per-cluster diameter: within-cluster self-join (node_a <
+    node_b), haversine 6-dp floor-rounded BEFORE the argmax (so ties
+    are well-defined across engines), winner by row_number over
+    (dist DESC, node_a, node_b) — the engine's lexicographic
+    tie-break."""
+    hav = haversine_sql("pa.lat", "pa.lon", "pb.lat", "pb.lon")
+    return _geo_clusters_members_with(d, eps_km, min_pts, rounds) + f""",
+dpairs AS (
+  SELECT m1.cluster_id,
+         floor({hav} * 1e6 + 0.5) / 1e6 AS dist,
+         m1.node AS na, m2.node AS nb
+  FROM members m1 JOIN members m2
+    ON m2.cluster_id = m1.cluster_id AND m1.node < m2.node
+  JOIN named pa ON pa.node = m1.node
+  JOIN named pb ON pb.node = m2.node),
+best AS (
+  SELECT cluster_id, dist, na, nb,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY dist DESC, na, nb) AS rn
+  FROM dpairs),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_points
+          FROM members GROUP BY 1)
+SELECT b.cluster_id, s.n_points, b.dist AS diam_km,
+       b.na // 4 AS osm_id_a,
+       CASE b.na % 4 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
+            ELSE 'relation' END AS entity_type_a,
+       b.nb // 4 AS osm_id_b,
+       CASE b.nb % 4 WHEN 0 THEN 'node' WHEN 1 THEN 'way'
+            ELSE 'relation' END AS entity_type_b
+FROM best b JOIN sizes s ON s.cluster_id = b.cluster_id
+WHERE b.rn = 1 ORDER BY b.cluster_id"""
 
 
 def geo_range_join_sql(d: str, eps_km: float) -> str:
@@ -2485,6 +2638,60 @@ SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pts,
        CAST(sum(m) AS BIGINT) AS kde_micro,
        CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 1000000.0 AS kde
 FROM micro GROUP BY 1 ORDER BY 1"""
+
+
+def kernel_surface_sql(d: str, res: int, cutoff_km: float,
+                       lat_step: float, lon_step: float) -> str:
+    """Nadaraya-Watson quartic-kernel regression of name length at cell
+    centers — same 3x3 candidate window, 6-dp-before-gate rounding and
+    integer micro-weight quantization as ``kde_heatmap_sql``; the
+    value-weighted sum is the exact integer product m * val, so both
+    sums are bit-equal and only the final division is float."""
+    n = 1 << res
+    clat = f"(90.0 - (jy + 0.5) * {lat_step!r})"
+    clon = f"((jx + 0.5) * {lon_step!r} - 180.0)"
+    hav = haversine_sql("lat", "lon", clat, clon)
+    return f"""
+WITH {base_ctes(d)},
+pts AS (
+  SELECT lat, lon, CAST(length(name) AS BIGINT) AS val,
+         {cell_sql(res)} % {n} AS ix, {cell_sql(res)} // {n} AS iy
+  FROM base WHERE name IS NOT NULL
+),
+offs AS (
+  SELECT dx.x AS dx, dy.y AS dy
+  FROM (VALUES (-1), (0), (1)) dx(x), (VALUES (-1), (0), (1)) dy(y)
+),
+cand AS (
+  SELECT p.lat, p.lon, p.val, p.ix + o.dx AS jx, p.iy + o.dy AS jy
+  FROM pts p CROSS JOIN offs o
+  WHERE p.ix + o.dx >= 0 AND p.ix + o.dx < {n}
+    AND p.iy + o.dy >= 0 AND p.iy + o.dy < {n}
+),
+dd AS (
+  SELECT jy * {n} + jx AS cell_id, val,
+         floor({hav} * 1e6 + 0.5) / 1e6 AS dist
+  FROM cand
+),
+wts AS (
+  SELECT cell_id, val,
+         (1.0 - (dist / {cutoff_km!r}) * (dist / {cutoff_km!r})) AS t
+  FROM dd WHERE dist <= {cutoff_km!r}
+),
+micro AS (
+  SELECT cell_id, val,
+         CAST(floor(t * t * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM wts
+),
+s AS (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(m) AS BIGINT) AS w_micro,
+         CAST(sum(m * val) AS BIGINT) AS wv_micro
+  FROM micro GROUP BY 1
+)
+SELECT cell_id, n_pts, w_micro, wv_micro,
+       CAST(wv_micro AS DOUBLE) / CAST(w_micro AS DOUBLE) AS surface
+FROM s WHERE w_micro > 0 ORDER BY cell_id"""
 
 
 def ripley_k_sql(d: str, eps_km: float, bins: tuple) -> str:

@@ -216,6 +216,18 @@ def geo_ripley_k(sf_dir: str) -> pd.DataFrame:
     return _geocluster().ripley_k(_synth(sf_dir))
 
 
+def geo_kernel_surface(sf_dir: str) -> pd.DataFrame:
+    """Nadaraya-Watson quartic-kernel regression of name length at
+    quad-cell centers (attribute interpolation surface)."""
+    return geostats.kernel_surface(_synth(sf_dir))
+
+
+def geo_bearing_rose(sf_dir: str) -> pd.DataFrame:
+    """Eight-sector wind-rose of doc->nearest-tile-center bearings
+    (per-tile orientation histogram)."""
+    return geostats.bearing_rose(_synth(sf_dir))
+
+
 def geo_semivariogram(sf_dir: str) -> pd.DataFrame:
     """Matheron semivariogram of name length over the named-CTV
     points (attribute-valued spatial-dependence companion to K)."""
@@ -226,6 +238,12 @@ def geo_nn_stats(sf_dir: str) -> pd.DataFrame:
     """Nearest-neighbor distance stats within the eps band (Clark-Evans
     style aggregate, isolated points counted not hidden)."""
     return _geocluster().nn_stats(_synth(sf_dir))
+
+
+def geo_cluster_diameter(sf_dir: str) -> pd.DataFrame:
+    """Exact great-circle diameter + contributing pair per DBSCAN
+    cluster (rides the cached member table)."""
+    return _geocluster().geo_cluster_diameter(_synth(sf_dir))
 
 
 def knn_dup_names(sf_dir: str) -> rd.Dataset:
@@ -483,6 +501,13 @@ def dedup_apply(sf_dir: str):
     return textops.dedup_apply(sf_dir)
 
 
+def dedup_apply_quality(sf_dir: str):
+    """Quality-aware dedup apply: each near-dup cluster keeps its
+    highest-quality member (ties to the lowest doc_id)."""
+    from . import textops
+    return textops.dedup_apply_quality(sf_dir)
+
+
 def top_quality_docs(sf_dir: str):
     from . import textops
     return textops.top_quality_docs(sf_dir)
@@ -521,6 +546,13 @@ def embedding_quantize(sf_dir: str):
 def ann_topk(sf_dir: str):
     from . import ann
     return ann.topk_neighbors(sf_dir, k=ANN_K, n_queries=ANN_NQ)
+
+
+def diversity_sample(sf_dir: str):
+    """Gonzalez k-center greedy diversity sample (farthest-point
+    coreset selection) over the embeddings table."""
+    from . import ann
+    return ann.diversity_sample(sf_dir)
 
 
 def embedding_cosine_pairs(sf_dir: str):
@@ -811,12 +843,22 @@ def ray_queries() -> dict:
         "cell_pyramid": cell_pyramid,
         "geo_range_join": geo_range_join,
         "raster_polygonize": raster_polygonize,
-        # --- tier 3: core geo/lint + ANN + dedup ------------------------
+        # --- tier 3: flagship parity + never-driver-verified rotations --
+        # lint_flags + pip_tile_join stay (the two north-metric
+        # pipelines); their three r3-driver-green aggregate siblings
+        # (summary/per-check/merge — pure rollups OF lint_flags) rotate
+        # to the back so three tier-5 ops with NO driver row ever get
+        # one: the grid-stats family rep pair (moran_i shares the
+        # count/spread machinery with gi_star; kde with kernel_surface)
+        # and the leakage-free split.
         "lint_flags": lint_flags,
+        "pip_tile_join": pip_tile_join,
+        "geo_moran_i": geo_moran_i,
+        "geo_kde_heatmap": geo_kde_heatmap,
+        "corpus_split_leakfree": corpus_split_leakfree,
         "lint_summary_per_map": lint_summary_per_map,
         "lint_per_check_type": lint_per_check_type,
         "lint_merge_overall": lint_merge_overall,
-        "pip_tile_join": pip_tile_join,
         "cell_index": cell_index,
         "cell_density_smooth": cell_density_smooth,
         "knn_dup_names": knn_dup_names,
@@ -867,14 +909,16 @@ def ray_queries() -> dict:
         #     window by construction — evidence is the in-repo parity
         #     suite, which drives the IDENTICAL compare at sf0.001 and
         #     sf0.01) -------------------------------------------------
-        "geo_moran_i": geo_moran_i,
         "geo_gi_star": geo_gi_star,
-        "geo_kde_heatmap": geo_kde_heatmap,
         "geo_ripley_k": geo_ripley_k,
-        "corpus_split_leakfree": corpus_split_leakfree,
         "events_props_extract": events_props_extract,
         "geo_semivariogram": geo_semivariogram,
         "geo_nn_stats": geo_nn_stats,
+        "geo_cluster_diameter": geo_cluster_diameter,
+        "geo_kernel_surface": geo_kernel_surface,
+        "diversity_sample": diversity_sample,
+        "dedup_apply_quality": dedup_apply_quality,
+        "geo_bearing_rose": geo_bearing_rose,
     }
 
 
@@ -1084,6 +1128,15 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_semivariogram": oracle_sql.semivariogram_sql(
             d, _geocluster().EPS_KM, _geocluster().VARIO_BINS),
         "geo_nn_stats": oracle_sql.nn_stats_sql(d, _geocluster().EPS_KM),
+        "geo_cluster_diameter": oracle_sql.geo_cluster_diameter_sql(
+            d, _geocluster().EPS_KM, _geocluster().MIN_PTS),
+        "geo_kernel_surface": oracle_sql.kernel_surface_sql(
+            d, CELL_RES, geostats.KDE_CUTOFF_KM,
+            geostats.LAT_STEP, geostats.LON_STEP),
+        "diversity_sample": oracle_sql.diversity_sample_sql(
+            _ann().DIVERSITY_K),
+        "dedup_apply_quality": oracle_sql.dedup_apply_quality_sql(0.5),
+        "geo_bearing_rose": oracle_sql.bearing_rose_sql(d),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

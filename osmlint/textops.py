@@ -1772,6 +1772,15 @@ def dedup_apply(sf_dir: str, tau: float = 0.5,
 
     drop = clusters.map_batches(to_drop,
                                 batch_format="pyarrow").materialize()
+    return _apply_drop(sf_dir, drop, broadcast_max, num_partitions)
+
+
+def _apply_drop(sf_dir: str, drop: rd.Dataset, broadcast_max: int,
+                num_partitions: int) -> pd.DataFrame:
+    """Shared retain-after-drop tail of the dedup appliers: broadcast
+    ``np.isin`` filter when the drop set fits, distributed anti-join
+    (8-byte keys + 1-byte marker) above — see ``dedup_apply``."""
+    import pyarrow.compute as pc
     n_drop = drop.count()
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"])
@@ -1801,6 +1810,70 @@ def dedup_apply(sf_dir: str, tau: float = 0.5,
         df = joined.map_batches(keep_unmatched,
                                 batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_apply_quality(sf_dir: str, tau: float = 0.5,
+                        broadcast_max: int = DROP_BROADCAST_MAX,
+                        num_partitions: int = 4) -> pd.DataFrame:
+    """Quality-aware dedup apply: instead of ``dedup_apply``'s canonical
+    minimum member, each near-dup cluster keeps its HIGHEST-quality doc
+    (the ``_quality_cols`` score — same transcendental-free arithmetic
+    the quality filters share; ties to the lowest doc_id).  This is the
+    curation rule a training-data pipeline actually wants: dedup should
+    discard the worse copies, not the higher-numbered ones.
+
+    Shape: the cluster label table (narrow, clustered docs only) joins
+    the streaming (doc_id, quality) projection — the corpus text is
+    read once, reduced to one float per doc in-batch, and only 16-byte
+    rows ride the join; a cluster-hash meta-bucket reduce picks each
+    cluster's keeper; the drop set then applies through the same
+    broadcast-or-anti-join tail as ``dedup_apply``."""
+    clusters = dedup_clusters(sf_dir, tau, as_dataset=True)
+    clusters = clusters.materialize() \
+        if not isinstance(clusters, pd.DataFrame) \
+        else rd.from_pandas(clusters).materialize()
+    n_cl = clusters.count()
+    if n_cl == 0:
+        return _apply_drop(sf_dir, rd.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "_dup": pa.array([], type=pa.int8())})),
+            broadcast_max, num_partitions)
+
+    def qual(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qv = _quality_cols(df["text"].fillna(""))["quality"]
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "q": pa.array(qv, type=pa.float64())})
+
+    quality = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]) \
+        .map_batches(qual, batch_format="pyarrow")
+    npart = max(1, min(num_partitions, n_cl // 256))
+    j = clusters.map_batches(
+        lambda b: b.select(["doc_id", "cluster_id"]),
+        batch_format="pyarrow") \
+        .join(quality, "inner", npart, on=("doc_id",),
+              right_on=("doc_id",))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        c = b["cluster_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_mb", pa.array(_meta_bucket(c)))
+
+    def drop_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cluster_id", "q", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        dup = g["cluster_id"].duplicated(keep="first")
+        ids = g.loc[dup, "doc_id"].to_numpy(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "_dup": pa.array(np.ones(len(ids),
+                                                  dtype=np.int8))})
+
+    drop = j.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_mb").map_groups(drop_group, batch_format="pandas") \
+        .materialize()
+    return _apply_drop(sf_dir, drop, broadcast_max, num_partitions)
 
 
 # ---------------------------------------------------------------------------

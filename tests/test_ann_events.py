@@ -644,3 +644,33 @@ def test_r4_ops_tiny_and_empty_edges(tmp_path, ray_session):
                    str(d / "events.parquet"))
     tr = eventops.daily_trend(str(d))
     assert tr["slope"].iloc[0] == 0.0 and tr["intercept"].iloc[0] == 1.0
+
+
+def test_diversity_sample_brute(emb_dir):
+    """Greedy farthest-point selection vs a numpy brute force with the
+    identical rounding/tie rules; the min_d2 sequence is non-increasing
+    after step 1 (the k-center invariant: covering radius shrinks)."""
+    t = pq.read_table(os.path.join(emb_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    chosen = [0]                               # lowest vec_id is seed
+    expect = [(0, int(ids[0]), 0.0)]
+    for step in range(1, ann.DIVERSITY_K):
+        d2 = ((mat[:, None, :] - mat[chosen][None, :, :]) ** 2) \
+            .sum(axis=2)
+        d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+        mind = d2.min(axis=1)
+        mind[chosen] = -1.0
+        best = int(np.lexsort((ids, -mind))[0])
+        chosen.append(best)
+        expect.append((step, int(ids[best]), float(mind[best])))
+    got = ann.diversity_sample(emb_dir)
+    exp = pd.DataFrame({"step": [e[0] for e in expect],
+                        "vec_id": [e[1] for e in expect],
+                        "min_d2": [e[2] for e in expect]})
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    seq = got["min_d2"].to_numpy()[1:]
+    assert (np.diff(seq) <= 0).all()

@@ -134,3 +134,44 @@ def test_geo_cluster_stats_invariants(result):
         assert r["lat_min"] <= r["centroid_lat"] <= r["lat_max"]
         assert r["lon_min"] <= r["centroid_lon"] <= r["lon_max"]
     assert stats["n_points"].sum() == len(got)
+
+
+def test_geo_cluster_diameter_brute(result):
+    """Per-cluster max pairwise rounded haversine vs a brute force over
+    the member coordinates; the reported pair attains it, the count
+    matches the member table, and the diameter dominates the bbox
+    edges' chord only loosely (no assertion — the pair identity IS the
+    check)."""
+    d, got = result
+    con = duckdb.connect()
+    pts = con.execute(f"""
+      SELECT osm_id*4 + CASE entity_type WHEN 'node' THEN 0
+                        WHEN 'way' THEN 1 ELSE 2 END AS node, lat, lon
+      FROM (SELECT f.*, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY seq DESC) AS rn
+            FROM read_parquet('{d}/flat.parquet') f
+            WHERE map_slug='serbia_pbf'
+              AND place IN ('city','town','village')
+              AND name IS NOT NULL) WHERE rn=1""").df()
+    coords = {int(r.node): (r.lat, r.lon) for r in pts.itertuples()}
+    diam = geocluster.geo_cluster_diameter(d)
+    code = {"node": 0, "way": 1, "relation": 2}
+    mem = got.assign(node=got["osm_id"].to_numpy(np.int64) * 4
+                     + got["entity_type"].map(code).to_numpy(np.int64))
+    assert len(diam) == mem["cluster_id"].nunique()
+    for _, r in diam.iterrows():
+        nodes = np.sort(mem.loc[mem["cluster_id"] == r["cluster_id"],
+                                "node"].to_numpy(np.int64))
+        assert r["n_points"] == len(nodes)
+        lat = np.array([coords[n][0] for n in nodes])
+        lon = np.array([coords[n][1] for n in nodes])
+        dm = geo.haversine_km(lat[:, None], lon[:, None],
+                              lat[None, :], lon[None, :])
+        d6 = np.floor(dm * 1e6 + 0.5).astype(np.int64)
+        iu = np.triu_indices(len(nodes), k=1)
+        best = d6[iu].max()
+        assert r["diam_km"] == float(best) / 1e6
+        hits = np.argwhere(np.triu(d6 == best, k=1))
+        na, nb = min((int(nodes[i]), int(nodes[j])) for i, j in hits)
+        assert int(r["osm_id_a"]) * 4 + code[r["entity_type_a"]] == na
+        assert int(r["osm_id_b"]) * 4 + code[r["entity_type_b"]] == nb

@@ -201,3 +201,69 @@ def test_nn_stats_brute(ray_session):
     assert got["nn_max_km"].iloc[0] == float(micro.max()) / 1e6
     assert got["nn_mean_km"].iloc[0] == \
         (float(micro.sum()) / 1e6) / float(has.sum())
+
+
+def test_kernel_surface_brute(ray_session):
+    """Weighted-mean surface vs an all-points brute force over every
+    named doc and every occupied 3x3 center; weights quantized the same
+    way; surface == wv/w exactly."""
+    d = synth.generate(SF)
+    con = duckdb.connect()
+    pts = con.execute(f"""
+      SELECT lat, lon, CAST(length(name) AS BIGINT) AS val
+      FROM read_parquet('{d}/flat.parquet') WHERE name IS NOT NULL""").df()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    val = pts["val"].to_numpy(np.int64)
+    got = geostats.kernel_surface(d)
+    n_side = geostats.N_SIDE
+    for _, r in got.head(12).iterrows():
+        cid = int(r["cell_id"])
+        cy, cx = cid // n_side, cid % n_side
+        clat = 90.0 - (cy + 0.5) * geostats.LAT_STEP
+        clon = (cx + 0.5) * geostats.LON_STEP - 180.0
+        dd = geo.haversine_km(lat, lon, clat, clon)
+        dd = np.floor(dd * 1e6 + 0.5) / 1e6
+        sel = dd <= geostats.KDE_CUTOFF_KM
+        u = dd[sel] / geostats.KDE_CUTOFF_KM
+        t = 1.0 - u * u
+        m = np.floor(t * t * 1e6 + 0.5).astype(np.int64)
+        assert int(r["n_pts"]) == int(sel.sum())
+        assert int(r["w_micro"]) == int(m.sum())
+        assert int(r["wv_micro"]) == int((m * val[sel]).sum())
+        assert r["surface"] == float(r["wv_micro"]) / float(r["w_micro"])
+
+
+def test_bearing_rose_brute(points):
+    """Sector histogram vs a brute force over all docs: same nearest
+    center, same atan2 bearing, same rounding/wrap — and the sector
+    partition is total (counts sum to the corpus size)."""
+    d, lat, lon, _ = points
+    import duckdb as ddb
+    con = ddb.connect()
+    tiles = con.execute(
+        f"SELECT * FROM read_parquet('{d}/tiles.parquet') "
+        f"ORDER BY tile_id").df()
+    clat = ((tiles["minlat"] + tiles["maxlat"]) / 2.0).to_numpy()
+    clon = ((tiles["minlon"] + tiles["maxlon"]) / 2.0).to_numpy()
+    names = tiles["tile_name"].astype(str).tolist()
+    dm = geo.haversine_km(lat[:, None], lon[:, None],
+                          clat[None, :], clon[None, :])
+    dm = np.floor(dm * 1e6 + 0.5) / 1e6
+    idx = np.argmin(dm, axis=1)
+    tl, tn = clat[idx], clon[idx]
+    dlam = np.radians(tn) - np.radians(lon)
+    y = np.sin(dlam) * np.cos(np.radians(tl))
+    x = np.cos(np.radians(lat)) * np.sin(np.radians(tl)) \
+        - np.sin(np.radians(lat)) * np.cos(np.radians(tl)) * np.cos(dlam)
+    b = np.mod(np.degrees(np.arctan2(y, x)) + 360.0, 360.0)
+    b = np.floor(b * 1e6 + 0.5) / 1e6
+    sector = np.floor(b / 45.0).astype(np.int64)
+    sector[sector == 8] = 0
+    got = geostats.bearing_rose(d)
+    assert int(got["n_docs"].sum()) == len(lat)
+    import pandas as pd
+    exp = pd.DataFrame({"tile_name": [names[i] for i in idx],
+                        "sector": sector}) \
+        .groupby(["tile_name", "sector"]).size().reset_index(name="n_docs") \
+        .sort_values(["tile_name", "sector"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

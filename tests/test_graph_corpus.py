@@ -456,3 +456,26 @@ def test_sample_rate_one_keeps_everything(ray_session):
         pytest.skip("no driver data")
     s = textops.corpus_sample(sf, rates={}, default_rate=1.0)
     assert len(s) == 500                      # every doc retained
+
+
+def test_dedup_apply_quality_keeps_best(tmp_path, ray_session):
+    """The quality keeper differs from the canonical-min keeper when a
+    HIGHER doc_id has higher quality: doc 1 is doc 0 plus stopword-rich
+    tokens (word-3-gram Jaccard 10/15 >= 0.5, quality strictly higher),
+    so dedup_apply keeps 0 but dedup_apply_quality keeps 1.  Both apply
+    paths (broadcast and forced anti-join) agree."""
+    d = str(tmp_path)
+    base = ("zebra quark lumen boxer delta vesta orion nimbu salix "
+            "corvo talon umbra")
+    texts = [base, base + " the and of in to", "unique filler body x"]
+    df = pd.DataFrame({"doc_id": np.array([0, 1, 5], dtype=np.int64),
+                       "text": texts, "lang": "en", "source": "srcA"})
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    plain = textops.dedup_apply(d, tau=0.5)
+    best = textops.dedup_apply_quality(d, tau=0.5)
+    assert plain["doc_id"].tolist() == [0, 5]
+    assert best["doc_id"].tolist() == [1, 5]
+    forced = textops.dedup_apply_quality(d, tau=0.5, broadcast_max=0)
+    pd.testing.assert_frame_equal(best, forced)

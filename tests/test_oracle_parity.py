@@ -108,7 +108,7 @@ def test_events_oracle_parity_sf01(ray_session, name):
                     reason="no sf0.1 data")
 @pytest.mark.parametrize("name", [
     "bm25_topk", "corpus_weighted_sample", "pq_encode", "pq_topk_adc",
-    "knn_pagerank", "source_embedding_norms"])
+    "knn_pagerank", "source_embedding_norms", "diversity_sample"])
 def test_r4_ops_oracle_parity_sf01(ray_session, name):
     import duckdb
 
@@ -132,6 +132,8 @@ def test_r4_ops_oracle_parity_sf01(ray_session, name):
             5, 4, ann.PQ_M, ann.PQ_KSUB),
         "knn_pagerank": oracle_sql.knn_pagerank_sql(5, 0.85, 10),
         "source_embedding_norms": oracle_sql.SOURCE_EMBEDDING_NORMS_SQL,
+        "diversity_sample": oracle_sql.diversity_sample_sql(
+            ann.DIVERSITY_K),
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)
@@ -151,7 +153,15 @@ def test_r4_ops_oracle_parity_sf01(ray_session, name):
 @pytest.mark.parametrize("name", [
     "geo_moran_i", "geo_gi_star", "geo_kde_heatmap", "geo_ripley_k",
     "corpus_split_leakfree", "events_props_extract",
-    "geo_semivariogram", "geo_nn_stats"])
+    "geo_semivariogram", "geo_nn_stats",
+    "geo_kernel_surface", "geo_bearing_rose", "dedup_apply_quality"])
+# geo_cluster_diameter is EXCLUDED from the sf0.1 oracle sweep on
+# purpose: its oracle embeds the 48-round DBSCAN closure SQL, which
+# DuckDB takes hours to materialize at sf0.1 (the engine side is
+# seconds).  Its oracle parity runs at sf0.001+sf0.01 in
+# scripts/verify_queries.py, and test_geocluster.py pins the brute
+# force; test_diameter_consistent_with_stats_sf01 below keeps an
+# engine-side sf0.1 check.
 def test_r4c_ops_oracle_parity_sf01(ray_session, name):
     import duckdb
 
@@ -180,9 +190,36 @@ def test_r4c_ops_oracle_parity_sf01(ray_session, name):
         "geo_semivariogram": oracle_sql.semivariogram_sql(
             d, geocluster.EPS_KM, geocluster.VARIO_BINS),
         "geo_nn_stats": oracle_sql.nn_stats_sql(d, geocluster.EPS_KM),
+        "geo_kernel_surface": oracle_sql.kernel_surface_sql(
+            d, res, geostats.KDE_CUTOFF_KM,
+            geostats.LAT_STEP, geostats.LON_STEP),
+        "geo_bearing_rose": oracle_sql.bearing_rose_sql(d),
+        "dedup_apply_quality": oracle_sql.dedup_apply_quality_sql(0.5),
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)
     assert list(g.columns) == list(e.columns)
     assert len(g) == len(e) and len(g) > 0
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_EVENTS_SF01),
+                    reason="no sf0.1 data")
+def test_diameter_consistent_with_stats_sf01(ray_session):
+    """Engine-side sf0.1 check for geo_cluster_diameter (oracle runs at
+    sf0.001/0.01 — see the exclusion note above): one row per cluster,
+    n_points identical to geo_cluster_stats (shared member table), and
+    every diameter inside [0, bbox-corner-distance] of its cluster."""
+    from osmlint import geo, geocluster, synth
+    d = synth.generate(_EVENTS_SF01)
+    diam = geocluster.geo_cluster_diameter(d)
+    stats = geocluster.geo_cluster_stats(d)
+    m = diam.merge(stats, on="cluster_id")
+    assert len(m) == len(diam) == len(stats) > 0
+    assert (m["n_points_x"] == m["n_points_y"]).all()
+    corner = geo.haversine_km(m["lat_min"].to_numpy(),
+                              m["lon_min"].to_numpy(),
+                              m["lat_max"].to_numpy(),
+                              m["lon_max"].to_numpy())
+    assert (m["diam_km"].to_numpy() <= corner + 1e-5).all()
+    assert (m["diam_km"].to_numpy() > 0).all()
