@@ -418,3 +418,46 @@ def bearing_rose(data_dir: str) -> pd.DataFrame:
         "n_docs": agg["n_docs"].to_numpy(np.int64)})
     return out.sort_values(["tile_name", "sector"]) \
         .reset_index(drop=True)
+
+
+def _hilbert_d(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized xy -> Hilbert-curve distance on the 2^res grid (the
+    classic bit-interleave walk; integer-only, so engine/oracle agree
+    bit-for-bit with no rounding discipline needed)."""
+    x = ix.astype(np.int64).copy()
+    y = iy.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (res - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        swap = ry == 0
+        tmp = x[swap].copy()
+        x[swap] = y[swap]
+        y[swap] = tmp
+        s >>= 1
+    return d
+
+
+def hilbert_index(data_dir: str) -> pd.DataFrame:
+    """Hilbert space-filling-curve index of the occupied quad-cells:
+    ``(cell_id, hilbert_d, n_docs)`` ordered by curve distance — the
+    locality-preserving partition key a tiling engine range-partitions
+    on (neighbors on the curve are neighbors on the map, unlike the
+    row-major cell_id whose row seams scatter adjacent cells across
+    partitions; see `lineage.write_cell_sorted` for the range-sorted
+    writer this key feeds).
+
+    Shape: ONE corpus pass builds the grid-bounded count table; the
+    curve transform is res integer bit-steps on that bounded table —
+    nothing corpus-sized is touched again."""
+    counts = _cell_counts(_decoded(data_dir)).to_pandas()
+    c = counts["cell_id"].to_numpy(np.int64)
+    n = counts["n"].to_numpy(np.int64)
+    hd = _hilbert_d(c % N_SIDE, c // N_SIDE, CELL_RES)
+    return pd.DataFrame({"cell_id": c, "hilbert_d": hd, "n_docs": n}) \
+        .sort_values("hilbert_d").reset_index(drop=True)

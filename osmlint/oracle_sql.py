@@ -333,6 +333,46 @@ def cell_sql(res: int, lat: str = "lat", lon: str = "lon") -> str:
     return f"({iy} * {n} + {ix})"
 
 
+def pip_gaps_sql(d: str, res: int) -> str:
+    """Per-cell count of docs outside every okrug tile: the
+    ``pip_assign_cte`` anti side grouped on the quad-cell key."""
+    return f"""WITH {pip_assign_cte(d)}
+SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n_gap
+FROM pip WHERE pip_tile_name IS NULL GROUP BY 1 ORDER BY 1"""
+
+
+def hilbert_index_sql(d: str, res: int) -> str:
+    """Hilbert distance per occupied cell: the xy2d bit walk unrolled
+    to ``res`` integer CTE steps over the grid-bounded count table —
+    all-integer, so equality needs no rounding discipline."""
+    n = 1 << res
+    parts = [f"""{base_ctes(d)},
+counts AS (
+  SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1),
+h{res} AS (
+  SELECT cell_id, n, cell_id % {n} AS x, cell_id // {n} AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM counts)"""]
+    for t in range(res - 1, -1, -1):
+        s = 1 << t
+        parts.append(f"""
+h{t} AS (
+  SELECT cell_id, n,
+         CASE WHEN ry = 0 AND rx = 1 THEN {s - 1} - y
+              WHEN ry = 0 THEN y ELSE x END AS x,
+         CASE WHEN ry = 0 AND rx = 1 THEN {s - 1} - x
+              WHEN ry = 0 THEN x ELSE y END AS y,
+         d + {s * s} * xor(3 * rx, ry) AS d
+  FROM (SELECT *,
+          CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+          CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM h{t + 1}))""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT cell_id, d AS hilbert_d, n AS n_docs
+FROM h0 ORDER BY hilbert_d""")
+
+
 def cell_index_sql(d: str, res: int) -> str:
     return f"""WITH {base_ctes(d)}
 SELECT {cell_sql(res)} AS cell_id, CAST(count(*) AS BIGINT) AS n_docs

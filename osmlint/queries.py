@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -81,6 +82,30 @@ def pip_tile_join(sf_dir: str) -> pd.DataFrame:
     df = agg.to_pandas()
     df["n_docs"] = df["n_docs"].astype(np.int64)
     return df.sort_values(["country", "tile_name"]).reset_index(drop=True)
+
+
+def geo_pip_gaps(sf_dir: str) -> pd.DataFrame:
+    """Tiling coverage gaps localized on the grid: per quad-cell count
+    of docs that fall inside NO okrug tile (the PIP anti-join) — where
+    ``pip_tile_join`` reports '(none)' in aggregate, this says WHERE.
+    Same one-pass shape as ``cell_index``: the PIP stage flags rows
+    in-batch, the anti side pre-aggregates per cell, one grid-bounded
+    groupby."""
+    ds = _decoded(_synth(sf_dir), with_pip=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch["tile_name"]))
+        cells = t["cell_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell_id": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("cell_id").aggregate(Sum("n", alias_name="n_gap")))
+    df = agg.to_pandas()
+    df["cell_id"] = df["cell_id"].astype(np.int64)
+    df["n_gap"] = df["n_gap"].astype(np.int64)
+    return df.sort_values("cell_id").reset_index(drop=True)
 
 
 def cell_index(sf_dir: str) -> pd.DataFrame:
@@ -226,6 +251,12 @@ def geo_bearing_rose(sf_dir: str) -> pd.DataFrame:
     """Eight-sector wind-rose of doc->nearest-tile-center bearings
     (per-tile orientation histogram)."""
     return geostats.bearing_rose(_synth(sf_dir))
+
+
+def geo_hilbert_index(sf_dir: str) -> pd.DataFrame:
+    """Hilbert space-filling-curve index of the occupied quad-cells
+    (the locality-preserving range-partition key)."""
+    return geostats.hilbert_index(_synth(sf_dir))
 
 
 def geo_semivariogram(sf_dir: str) -> pd.DataFrame:
@@ -919,6 +950,8 @@ def ray_queries() -> dict:
         "diversity_sample": diversity_sample,
         "dedup_apply_quality": dedup_apply_quality,
         "geo_bearing_rose": geo_bearing_rose,
+        "geo_pip_gaps": geo_pip_gaps,
+        "geo_hilbert_index": geo_hilbert_index,
     }
 
 
@@ -1137,6 +1170,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _ann().DIVERSITY_K),
         "dedup_apply_quality": oracle_sql.dedup_apply_quality_sql(0.5),
         "geo_bearing_rose": oracle_sql.bearing_rose_sql(d),
+        "geo_pip_gaps": oracle_sql.pip_gaps_sql(d, CELL_RES),
+        "geo_hilbert_index": oracle_sql.hilbert_index_sql(d, CELL_RES),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

@@ -267,3 +267,38 @@ def test_bearing_rose_brute(points):
         .groupby(["tile_name", "sector"]).size().reset_index(name="n_docs") \
         .sort_values(["tile_name", "sector"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hilbert_curve_properties():
+    """On the full 2^4 grid the transform is a bijection onto
+    0..255 and consecutive curve positions are unit-Manhattan grid
+    neighbors — the locality property the partition key exists for."""
+    res = 4
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs, ys = xs.ravel(), ys.ravel()
+    d = geostats._hilbert_d(xs, ys, res)
+    assert sorted(d.tolist()) == list(range(n * n))
+    order = np.argsort(d)
+    steps = (np.abs(np.diff(xs[order]))
+             + np.abs(np.diff(ys[order])))
+    assert (steps == 1).all()
+
+
+def test_hilbert_index_and_pip_gaps_consistency(points):
+    """hilbert_index is cell_index re-keyed (same cells, same counts,
+    unique curve positions); pip_gaps totals the '(none)' docs the
+    PIP join reports."""
+    from osmlint import queries as qmod
+    d, _, _, cells = points
+    hi = geostats.hilbert_index(d)
+    uniq, counts = np.unique(cells, return_counts=True)
+    assert hi.sort_values("cell_id")["cell_id"].tolist() == uniq.tolist()
+    assert hi.sort_values("cell_id")["n_docs"].tolist() == counts.tolist()
+    assert hi["hilbert_d"].is_unique
+    sf = "/root/testdata/sf0.001"
+    gaps = qmod.geo_pip_gaps(sf)
+    ptj = qmod.pip_tile_join(sf)
+    none_total = int(ptj.loc[ptj["tile_name"] == "(none)",
+                             "n_docs"].sum())
+    assert int(gaps["n_gap"].sum()) == none_total > 0
