@@ -298,7 +298,13 @@ def pip_assign_cte(d: str) -> str:
     (synth.py) so the oracle is a bbox join; the engine runs the general
     STRtree + ray-cast path over the same polygons."""
     return f"""{base_ctes(d)},
-cassign AS (
+{_pip_body()}"""
+
+
+def _pip_body() -> str:
+    """cassign + pip CTEs WITHOUT the base prefix, for composition with
+    other base-carrying CTE chains (``lint_flags_by_tile_sql``)."""
+    return """cassign AS (
   SELECT b.map_slug, b.seq, b.doc_id, c.country,
          row_number() OVER (PARTITION BY b.map_slug, b.seq
                             ORDER BY c.priority) AS rn
@@ -324,6 +330,23 @@ SELECT coalesce(pip_country, '(none)') AS country,
        coalesce(pip_tile_name, '(none)') AS tile_name,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM pip GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def lint_flags_by_tile_sql(d: str) -> str:
+    """Lint results rolled up per (okrug tile, check): the deduped flag
+    rows joined back to their own row's tile assignment on (doc_id,
+    seq) — the A+B composition (validate-and-flag x spatial tiling) in
+    one statement."""
+    return f"""WITH {flags_cte(d)},
+{_pip_body()}
+SELECT coalesce(p.pip_tile_name, '(none)') AS tile_name, f.check_name,
+       CAST(count(*) AS BIGINT) AS n_results,
+       CAST(sum(CASE WHEN f.result = 'CHECKED_ERROR' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       CAST(sum(CASE WHEN f.result = 'CHECKED_ERROR' AND f.fixable
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fixable
+FROM dedup f JOIN pip p ON p.doc_id = f.doc_id AND p.seq = f.seq
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def cell_sql(res: int, lat: str = "lat", lon: str = "lon") -> str:

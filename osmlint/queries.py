@@ -41,6 +41,61 @@ def lint_flags(sf_dir: str) -> rd.Dataset:
     return pipeline.flags_dataset(_synth(sf_dir))
 
 
+_TILE_FLAGS_SCHEMA = pa.schema([
+    ("tile_name", pa.string()), ("check_name", pa.string()),
+    ("n_results", pa.int64()), ("n_errors", pa.int64()),
+    ("n_fixable", pa.int64())])
+
+
+def lint_flags_by_tile(sf_dir: str) -> pd.DataFrame:
+    """Lint results rolled up per (okrug tile, check) — the A+B
+    composition: the flagship validate-and-flag chain with the PIP tile
+    assignment carried through.  NO join stage: flag rows merge back to
+    their own batch's pip-assigned source rows on (doc_id, seq) INSIDE
+    the kernel (the assignment and the flags come from the same block),
+    then per-batch partials reduce through one bounded
+    (tile, check) groupby — the corpus stream never shuffles."""
+    d = _synth(sf_dir)
+    refs = pipeline.broadcast_refs(d)
+    ds = pipeline.read_documents(d) \
+        .map_batches(pipeline.decode_and_index, batch_format="pyarrow")
+    coll_ref = pipeline.collision_keys_ref(d, pipeline.doc_partitions(d))
+    ds = ds.map_batches(pipeline.dedup_filter, batch_format="pyarrow",
+                        fn_kwargs={"collisions_ref": coll_ref})
+    ds = ds.map_batches(pipeline.pip_assign_batch, batch_format="pyarrow",
+                        fn_kwargs={"countries_ref": refs["countries"],
+                                   "tiles_ref": refs["tiles"]})
+    wref, wdref = refs["wiki_ref"], refs["wikidata_ref"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = pipeline.flag_batch(batch, wref, wdref).to_pandas()
+        if flags.empty:
+            return _TILE_FLAGS_SCHEMA.empty_table()
+        src = batch.select(["doc_id", "seq", "tile_name"]).to_pandas()
+        m = flags.merge(src, on=["doc_id", "seq"], how="left")
+        err = (m["result"] == "CHECKED_ERROR")
+        g = pd.DataFrame({
+            "tile_name": m["tile_name"].fillna("(none)").astype(str),
+            "check_name": m["check_name"].astype(str),
+            "e": err.to_numpy(np.int64),
+            "fx": (err & m["fixable"]).to_numpy(np.int64)}) \
+            .groupby(["tile_name", "check_name"], sort=False) \
+            .agg(n_results=("e", "size"), n_errors=("e", "sum"),
+                 n_fixable=("fx", "sum")).reset_index()
+        return pipeline.to_arrow(g, _TILE_FLAGS_SCHEMA)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["tile_name", "check_name"])
+           .aggregate(Sum("n_results", alias_name="n_results"),
+                      Sum("n_errors", alias_name="n_errors"),
+                      Sum("n_fixable", alias_name="n_fixable"))
+           .to_pandas())
+    for c in ("n_results", "n_errors", "n_fixable"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values(["tile_name", "check_name"]) \
+        .reset_index(drop=True)
+
+
 def lint_summary_per_map(sf_dir: str) -> pd.DataFrame:
     return pipeline.summary_per_map(pipeline.flags_dataset(_synth(sf_dir)))
 
@@ -952,6 +1007,7 @@ def ray_queries() -> dict:
         "geo_bearing_rose": geo_bearing_rose,
         "geo_pip_gaps": geo_pip_gaps,
         "geo_hilbert_index": geo_hilbert_index,
+        "lint_flags_by_tile": lint_flags_by_tile,
     }
 
 
@@ -1172,6 +1228,7 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_bearing_rose": oracle_sql.bearing_rose_sql(d),
         "geo_pip_gaps": oracle_sql.pip_gaps_sql(d, CELL_RES),
         "geo_hilbert_index": oracle_sql.hilbert_index_sql(d, CELL_RES),
+        "lint_flags_by_tile": oracle_sql.lint_flags_by_tile_sql(d),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

@@ -155,7 +155,7 @@ def test_r4_ops_oracle_parity_sf01(ray_session, name):
     "corpus_split_leakfree", "events_props_extract",
     "geo_semivariogram", "geo_nn_stats",
     "geo_kernel_surface", "geo_bearing_rose", "dedup_apply_quality",
-    "geo_pip_gaps", "geo_hilbert_index"])
+    "geo_pip_gaps", "geo_hilbert_index", "lint_flags_by_tile"])
 # geo_cluster_diameter is EXCLUDED from the sf0.1 oracle sweep on
 # purpose: its oracle embeds the 48-round DBSCAN closure SQL, which
 # DuckDB takes hours to materialize at sf0.1 (the engine side is
@@ -198,6 +198,7 @@ def test_r4c_ops_oracle_parity_sf01(ray_session, name):
         "dedup_apply_quality": oracle_sql.dedup_apply_quality_sql(0.5),
         "geo_pip_gaps": oracle_sql.pip_gaps_sql(d, res),
         "geo_hilbert_index": oracle_sql.hilbert_index_sql(d, res),
+        "lint_flags_by_tile": oracle_sql.lint_flags_by_tile_sql(d),
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)

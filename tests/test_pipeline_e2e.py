@@ -148,3 +148,22 @@ def test_media_dedup_keeper_semantics(ray_session):
     for ph, g in list(grp)[:50]:
         assert m.loc[ph, "doc_id"] == g.min()
         assert m.loc[ph, "n_copies"] == len(g)
+
+
+def test_lint_flags_by_tile_consistent(ray_session):
+    """The tile rollup totals the flag table exactly: summed n_results
+    equals the flag row count, summed n_errors equals the CHECKED_ERROR
+    rows, and every check_name in the flags appears in the rollup."""
+    from osmlint import queries as qmod
+    sf = "/root/testdata/sf0.001"
+    rolled = qmod.lint_flags_by_tile(sf)
+    flags = qmod.lint_flags(sf).to_pandas()
+    assert int(rolled["n_results"].sum()) == len(flags)
+    assert int(rolled["n_errors"].sum()) == \
+        int((flags["result"] == "CHECKED_ERROR").sum())
+    assert int(rolled["n_fixable"].sum()) == \
+        int(((flags["result"] == "CHECKED_ERROR")
+             & flags["fixable"]).sum())
+    assert set(flags["check_name"]) == set(rolled["check_name"])
+    assert (rolled["n_errors"] <= rolled["n_results"]).all()
+    assert (rolled["n_fixable"] <= rolled["n_errors"]).all()
