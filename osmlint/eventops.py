@@ -561,3 +561,65 @@ def props_extract(sf_dir: str) -> pd.DataFrame:
         / agg["n_with_k"].to_numpy(np.float64)
     return agg[["event_type", "n_with_k", "k_sum", "k_min", "k_max",
                 "k_avg"]].sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# heavy users: exact top-k users per event type (windowed rank, no window
+# engine)
+# ---------------------------------------------------------------------------
+
+HEAVY_TOP = 5
+
+
+def heavy_users(sf_dir: str, k: int = HEAVY_TOP,
+                n_buckets: int = 64) -> pd.DataFrame:
+    """Exact top-``k`` users by event count per event type — the
+    heavy-hitter report an events pipeline ships per activity class.
+    Ranking is total: ties break to the lowest user_id.
+
+    Shape: per-batch (user, type) count partials; a user-hash bucket
+    groupby colocates every count of a user (so in-bucket sums are
+    FINAL — the per-type top-k cut inside a bucket is therefore a valid
+    candidate cut: the global top-k per type is a subset of the union
+    of per-bucket top-ks); the final rank runs per event type over
+    <= n_buckets x k surviving rows.  Counts are integers end-to-end;
+    nothing user-cardinality-sized reaches the driver."""
+    ds = read_events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["user_id", "event_type"], sort=False) \
+            .size().reset_index(name="n")
+        u = g["user_id"].to_numpy(np.int64)
+        g["_b"] = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                   >> np.uint64(40)).astype(np.int64) % n_buckets
+        return to_arrow(g)
+
+    def bucket_top(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby(["user_id", "event_type"], sort=False)["n"] \
+            .sum().reset_index()
+        top = d.sort_values(["n", "user_id"], ascending=[False, True],
+                            kind="stable") \
+            .groupby("event_type", sort=False).head(k)
+        return pa.table({
+            "event_type": pa.array(top["event_type"].astype(str),
+                                   type=pa.string()),
+            "user_id": pa.array(top["user_id"].to_numpy(np.int64)),
+            "n": pa.array(top["n"].to_numpy(np.int64))})
+
+    def final_rank(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        return pa.table({
+            "event_type": pa.array(g["event_type"].astype(str),
+                                   type=pa.string()),
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+            "n_events": pa.array(g["n"].to_numpy(np.int64)),
+            "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64))})
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("_b").map_groups(bucket_top, batch_format="pandas")
+          .groupby("event_type").map_groups(final_rank,
+                                            batch_format="pandas")
+          .to_pandas())
+    return df.sort_values(["event_type", "rank"]).reset_index(drop=True)

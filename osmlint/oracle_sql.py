@@ -2889,6 +2889,22 @@ SELECT np.n AS n_points, agg.cnt AS n_with_nn,
 FROM np, agg"""
 
 
+def heavy_users_sql(k: int) -> str:
+    """Exact per-type top-k users by event count; ties break to the
+    lowest user_id (the engine's total ranking)."""
+    return f"""
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, user_id) AS rn
+  FROM c
+)
+SELECT event_type, user_id, n_events, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= {k} ORDER BY event_type, rank"""
+
+
 def props_extract_sql() -> str:
     """Integer ``k`` pulled from the JSON props payload with the SAME
     regex the engine compiles (``eventops.PROPS_K_RE``) — regexp

@@ -481,6 +481,12 @@ def events_props_extract(sf_dir: str):
     return eventops.props_extract(sf_dir)
 
 
+def events_heavy_users(sf_dir: str):
+    """Exact top-k users by event count per type (ties to lowest id)."""
+    from . import eventops
+    return eventops.heavy_users(sf_dir)
+
+
 def decontaminate(sf_dir: str):
     from . import textops
     return textops.decontaminate(sf_dir)
@@ -1008,6 +1014,7 @@ def ray_queries() -> dict:
         "geo_pip_gaps": geo_pip_gaps,
         "geo_hilbert_index": geo_hilbert_index,
         "lint_flags_by_tile": lint_flags_by_tile,
+        "events_heavy_users": events_heavy_users,
     }
 
 
@@ -1229,6 +1236,8 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "geo_pip_gaps": oracle_sql.pip_gaps_sql(d, CELL_RES),
         "geo_hilbert_index": oracle_sql.hilbert_index_sql(d, CELL_RES),
         "lint_flags_by_tile": oracle_sql.lint_flags_by_tile_sql(d),
+        "events_heavy_users": oracle_sql.heavy_users_sql(
+            _eventops().HEAVY_TOP),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

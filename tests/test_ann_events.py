@@ -674,3 +674,39 @@ def test_diversity_sample_brute(emb_dir):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     seq = got["min_d2"].to_numpy()[1:]
     assert (np.diff(seq) <= 0).all()
+
+
+def test_heavy_users_brute(tmp_path, ray_session):
+    """Top-k per type vs a pandas brute force on a table engineered so
+    the top-k boundary carries a count TIE (ranking must break to the
+    lowest user_id) and a user is heavy in one type only."""
+    d = str(tmp_path)
+    rows = []
+    # type A: user 3 -> 7 events, users 5 and 4 -> 6 each (tie), others 1
+    rows += [(3, "A")] * 7 + [(5, "A")] * 6 + [(4, "A")] * 6
+    rows += [(u, "A") for u in range(10, 16)]
+    # type B: user 5 dominates
+    rows += [(5, "B")] * 4 + [(9, "B")] * 2
+    df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["ts"] = pd.Timestamp("2026-01-01")
+    df["value"] = 1.0
+    df["source"] = "s"
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+    got = eventops.heavy_users(d, k=3)
+    a = got[got["event_type"] == "A"]
+    assert a["user_id"].tolist() == [3, 4, 5]      # tie 4 vs 5 -> 4 first
+    assert a["n_events"].tolist() == [7, 6, 6]
+    assert a["rank"].tolist() == [1, 2, 3]
+    b = got[got["event_type"] == "B"]
+    assert b["user_id"].tolist() == [5, 9]
+    exp = df.groupby(["event_type", "user_id"]).size().reset_index(name="n")
+    for et, grp in exp.groupby("event_type"):
+        top = grp.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(3)
+        sub = got[got["event_type"] == et]
+        assert sub["user_id"].tolist() == top["user_id"].tolist()
+        assert sub["n_events"].tolist() == top["n"].tolist()

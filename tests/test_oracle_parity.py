@@ -61,7 +61,7 @@ def _events_canon(df):
 @pytest.mark.parametrize("name", [
     "events_window", "events_sessionize", "events_asof_attribution",
     "events_funnel", "events_range_join", "events_retention",
-    "events_anomalies", "events_daily_trend"])
+    "events_anomalies", "events_daily_trend", "events_heavy_users"])
 def test_events_oracle_parity_sf01(ray_session, name):
     """Run each events query AND its oracle SQL at sf0.1 (10x the
     driver's gate scale): user-hash bucket counts, window merges and
@@ -90,6 +90,7 @@ def test_events_oracle_parity_sf01(ray_session, name):
             ev.ANOMALY_Z),
         "events_daily_trend": oracle_sql.events_daily_trend_sql(
             ev.TREND_X0),
+        "events_heavy_users": oracle_sql.heavy_users_sql(ev.HEAVY_TOP),
     }[name]
     exp = con.execute(sql).df()
     g, e = _events_canon(got), _events_canon(exp)
