@@ -1407,6 +1407,40 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
 ORDER BY d.doc_id"""
 
 
+def quality_quantiles_sql(qs: tuple) -> str:
+    """Exact per-lang quality quantiles (quantile_disc — the sorted
+    element at max(ceil(q*n),1)-1, the engine's rank rule); quality
+    re-derived transcendental-free, so doubles are bit-identical.  The
+    sketch query's driver-scale equality to THIS exact statement is
+    certificate-gated (no compaction at driver scale)."""
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT lang, CAST({q!r} AS DOUBLE) AS q,
+       quantile_disc(quality, {q!r}) AS quality
+FROM scored GROUP BY lang""" for q in qs)
+    return rf"""
+WITH c AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT)
+        AS n_tokens,
+    CAST(len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS BIGINT)
+        AS punct_cnt,
+    CAST(len(regexp_extract_all(coalesce(text, ''),
+        '\b(the|and|with|for|an|of|in|to|is|on|a)\b')) AS BIGINT)
+        AS stop_cnt,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      + 0.3 * (1.0 - CAST(punct_cnt AS DOUBLE) / greatest(n_chars, 1))
+      + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                                / greatest(n_tokens, 1)))
+      AS quality
+  FROM c
+)
+SELECT * FROM ({sel}) ORDER BY lang, q"""
+
+
 def top_quality_docs_sql(n: int) -> str:
     """row_number() OVER (PARTITION BY lang ORDER BY quality DESC,
     doc_id) — quality re-derived with the TEXT_STATS arithmetic (no

@@ -431,6 +431,13 @@ def quality_percentile_filter(sf_dir: str):
     return textops.quality_percentile_filter(sf_dir)
 
 
+def quality_quantiles_sketch(sf_dir: str):
+    """Per-lang quality quantiles via the deterministic mergeable rank
+    sketch (certificate-exact when nothing compacts)."""
+    from . import textops
+    return textops.quality_quantiles_sketch(sf_dir)
+
+
 def distinct_token_counts(sf_dir: str):
     from . import textops
     return textops.distinct_token_counts(sf_dir)
@@ -1015,6 +1022,7 @@ def ray_queries() -> dict:
         "geo_hilbert_index": geo_hilbert_index,
         "lint_flags_by_tile": lint_flags_by_tile,
         "events_heavy_users": events_heavy_users,
+        "quality_quantiles_sketch": quality_quantiles_sketch,
     }
 
 
@@ -1238,6 +1246,11 @@ def oracle_queries(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lint_flags_by_tile": oracle_sql.lint_flags_by_tile_sql(d),
         "events_heavy_users": oracle_sql.heavy_users_sql(
             _eventops().HEAVY_TOP),
+        # certificate-gated exact at driver scale (no compaction — the
+        # whole per-lang multiset fits SKETCH_CAP); compaction-path
+        # error bound is pytest-gated
+        "quality_quantiles_sketch": oracle_sql.quality_quantiles_sql(
+            _textops().TOKEN_QUANTILES),
         **{f"rule_{sl.removeprefix('sophox_')}": oracle_sql.rule_sql(d, sl)
            for sl in RULE_QUERY_SLUGS},
     }

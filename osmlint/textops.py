@@ -3339,3 +3339,100 @@ def corpus_split_leakfree(sf_dir: str, tau: float = 0.5,
     df["doc_id"] = df["doc_id"].astype(np.int64)
     df["split_key"] = df["split_key"].astype(np.int64)
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic mergeable quantile sketch (certificate-exact scale path
+# beside the exact histogram quantiles)
+# ---------------------------------------------------------------------------
+
+SKETCH_CAP = 512
+
+
+def _q_compact(vals: np.ndarray, ws: np.ndarray,
+               cap: int) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Compact a SORTED weighted value list to <= ``cap`` entries with
+    EXACT total-weight preservation: the weight axis [0, W) splits into
+    ``cap`` integer segments (boundaries floor(i*W/cap) — they sum to W
+    exactly); each segment keeps the value covering its midpoint rank.
+    One compaction moves any rank query by < W/cap — the deterministic
+    analog of a KLL level, with no randomness to reconcile across
+    engines."""
+    if len(vals) <= cap:
+        return vals, ws, False
+    W = int(ws.sum())
+    cw = np.cumsum(ws)
+    b = (np.arange(cap + 1, dtype=np.int64) * W) // cap
+    mid = (b[:-1] + b[1:]) // 2
+    idx = np.searchsorted(cw, mid, side="right")
+    seg_w = np.diff(b)
+    uniq, inv = np.unique(idx, return_inverse=True)
+    w2 = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(w2, inv, seg_w)
+    return vals[uniq], w2, True
+
+
+def quality_quantiles_sketch(sf_dir: str, qs: tuple = TOKEN_QUANTILES,
+                             cap: int = SKETCH_CAP) -> pd.DataFrame:
+    """Per-language quality-score quantiles through a deterministic
+    mergeable rank sketch — the sketch-family scale path for a
+    CONTINUOUS value (the exact ``token_quantiles`` histogram relies on
+    a bounded integer domain; a float score has no such histogram).
+
+    Each block folds its (lang, quality) values into a <= ``cap``-entry
+    weighted summary (``_q_compact``); a per-lang merge re-compacts and
+    answers rank queries (quantile_disc definition: smallest value with
+    cumweight >= max(ceil(q*W), 1)).  EXACTNESS CERTIFICATE: when no
+    level ever compacted (every block and merge fit the cap), the
+    summary IS the full weighted value multiset and the result equals
+    the exact quantile — the state is recorded in
+    ``LAST_METRICS['quality_quantiles_sketch']`` and the driver-scale
+    oracle equality leans on it (``vocab_topk_mg`` pattern); when
+    compaction does occur the pytest gate bounds the rank error by
+    levels x W/cap.  The quality arithmetic is transcendental-free, so
+    values are bit-identical to the SQL's doubles."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qv = _quality_cols(df["text"].fillna(""))["quality"]
+        out = []
+        for lang, g in pd.DataFrame(
+                {"lang": df["lang"].astype(str), "v": qv}) \
+                .groupby("lang", sort=False):
+            v = np.sort(g["v"].to_numpy(np.float64))
+            w = np.ones(len(v), dtype=np.int64)
+            v, w, c = _q_compact(v, w, cap)
+            out.append(pd.DataFrame({
+                "lang": lang, "v": v, "w": w,
+                "c": np.int64(1 if c else 0)}))
+        return to_arrow(pd.concat(out)) if out else pa.schema(
+            [("lang", pa.string()), ("v", pa.float64()),
+             ("w", pa.int64()), ("c", pa.int64())]).empty_table()
+
+    def merge_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("v", kind="stable")
+        v = g["v"].to_numpy(np.float64)
+        w = g["w"].to_numpy(np.int64)
+        compacted = bool(g["c"].max())
+        v, w, c2 = _q_compact(v, w, cap)
+        compacted = compacted or c2
+        cw = np.cumsum(w)
+        W = int(cw[-1])
+        rows = []
+        for q in qs:
+            r = max(int(np.ceil(q * W)), 1)
+            rows.append((float(q), float(v[np.searchsorted(
+                cw, r, side="left")])))
+        return pa.table({
+            "lang": pa.array([str(g["lang"].iloc[0])] * len(rows)),
+            "q": pa.array([r[0] for r in rows], type=pa.float64()),
+            "quality": pa.array([r[1] for r in rows],
+                                type=pa.float64()),
+            "c": pa.array([np.int64(compacted)] * len(rows))})
+
+    df = (read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+          .groupby("lang").map_groups(merge_group, batch_format="pandas")
+          .to_pandas())
+    LAST_METRICS["quality_quantiles_sketch"] = {
+        "cap": cap, "compacted": bool(df["c"].max()) if len(df) else False}
+    return df.drop(columns=["c"]) \
+        .sort_values(["lang", "q"]).reset_index(drop=True)

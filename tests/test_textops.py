@@ -795,3 +795,57 @@ def test_corpus_weighted_sample_brute_force(ray_session):
     assert list(out["rank"]) == list(range(1, 21))
     everything = textops.corpus_weighted_sample(sf, k=10**9)
     assert len(everything) == len(docs)
+
+
+def test_q_compact_weight_exact_and_bound():
+    """Compaction preserves total weight EXACTLY and moves any rank
+    query by < W/cap per level (the certificate's error model)."""
+    rng = np.random.default_rng(7)
+    v = np.sort(rng.standard_normal(50_000))
+    w = np.ones(len(v), np.int64)
+    v2, w2, c = textops._q_compact(v, w, 256)
+    assert c and len(v2) <= 256
+    assert int(w2.sum()) == 50_000
+    cw = np.cumsum(w2)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        r = max(int(np.ceil(q * 50_000)), 1)
+        got = v2[np.searchsorted(cw, r, "left")]
+        rank_got = int(np.searchsorted(v, got, "right"))
+        assert abs(rank_got - r) <= 50_000 // 256 + 1
+    # double compaction: bound doubles, weight still exact
+    v3, w3, _ = textops._q_compact(v2, w2, 64)
+    assert int(w3.sum()) == 50_000
+
+
+def test_quality_quantiles_sketch_certificate(ray_session):
+    """Driver-scale run: certificate reports NO compaction and the
+    result is deterministic across runs; forcing a tiny cap flips the
+    certificate and every quantile stays within the rank bound of the
+    exact answer."""
+    sf = "/root/testdata/sf0.001"
+    a = textops.quality_quantiles_sketch(sf)
+    assert textops.LAST_METRICS["quality_quantiles_sketch"][
+        "compacted"] is False
+    b = textops.quality_quantiles_sketch(sf)
+    pd.testing.assert_frame_equal(a, b)
+    forced = textops.quality_quantiles_sketch(sf, cap=8)
+    assert textops.LAST_METRICS["quality_quantiles_sketch"][
+        "compacted"] is True
+    # per lang: compare against the exact in-memory quantiles
+    import duckdb
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{sf}/documents.parquet')").df()
+    for lang, g in docs.groupby("lang"):
+        qv = np.sort(textops._quality_cols(
+            g["text"].fillna(""))["quality"])
+        n = len(qv)
+        fsub = forced[forced["lang"] == lang]
+        # levels: block partials + one merge, each < W/cap rank error;
+        # blocks for 500 docs are few — allow 4 levels of slack
+        bound = 4 * (n // 8 + 1)
+        for _, r in fsub.iterrows():
+            rank_exact = max(int(np.ceil(r["q"] * n)), 1)
+            rank_got = int(np.searchsorted(qv, r["quality"], "right"))
+            assert abs(rank_got - rank_exact) <= bound
