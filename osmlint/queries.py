@@ -1004,10 +1004,11 @@ def ray_queries() -> dict:
         "tfidf_keywords": tfidf_keywords,
         "corpus_filter": corpus_filter,
         "corpus_stats": corpus_stats,
-        # --- tier 5: new in r4's third session (past the 50-query
-        #     window by construction — evidence is the in-repo parity
-        #     suite, which drives the IDENTICAL compare at sf0.001 and
-        #     sf0.01) -------------------------------------------------
+        # --- tier 5: new in r4's third/fourth sessions (past the
+        #     50-query window by construction — evidence is the in-repo
+        #     parity suite, which drives the IDENTICAL compare at
+        #     sf0.001 and sf0.01, plus the sf0.1 parity pins in
+        #     test_oracle_parity.py) ----------------------------------
         "geo_gi_star": geo_gi_star,
         "geo_ripley_k": geo_ripley_k,
         "events_props_extract": events_props_extract,
