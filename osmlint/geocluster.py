@@ -217,6 +217,23 @@ def _eps_pairs_group(g: pd.DataFrame, *, eps_km: float) -> pa.Table:
 
 _PAIRS_CACHE: dict = caches.register({})
 
+#: bump when the mined-pair checkpoint SCHEMA changes (part of the
+#: on-disk dir name, so an old checkpoint can never serve new code)
+_PAIRS_CKPT_VERSION = 1
+
+#: pair-checkpoint dirs this process created/reused (purged only on an
+#: explicit ``clear_caches(purge_disk=True)`` — same policy as the
+#: shingle checkpoints)
+_PAIRS_CKPT_DIRS: set = set()
+
+
+@caches.register_purger
+def _purge_pair_checkpoints() -> None:
+    import shutil
+    for p in list(_PAIRS_CKPT_DIRS):
+        shutil.rmtree(p, ignore_errors=True)
+    _PAIRS_CKPT_DIRS.clear()
+
 
 def mined_eps_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
                     eps_km: float = EPS_KM, res: int = RES,
@@ -224,14 +241,36 @@ def mined_eps_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
     """Shared eps-pair mining over the deduped named-CTV points —
     ``(doc_a, doc_b, dist_km, raw_ok)``, materialized and cached per
     (input fingerprint, eps, res) so ``geo_clusters``,
-    ``geo_cluster_stats`` and ``geo_range_join`` mine the corpus
-    once per driver sweep."""
+    ``geo_cluster_stats``, ``geo_range_join``, Ripley's K, the
+    semivariogram and the NN stats mine the corpus once per driver
+    sweep.
+
+    The mine — the most expensive stage of the spatial family — is
+    ALSO checkpointed to content-fingerprinted parquet (the
+    ``shingle_checkpoint`` resume pattern): a re-run over the same
+    input skips straight to the consumers, including across process
+    restarts and ``clear_caches()``; ``clear_caches(purge_disk=True)``
+    deletes the dirs for a genuinely cold run.  Root comes from
+    ``$OSMLINT_CKPT_DIR`` (point it at a shared filesystem on a
+    multi-node cluster so every worker sees all blocks)."""
+    import hashlib as _hl
     import os
+    import tempfile
     shard = os.path.join(data_dir, "docs", f"map={map_slug}")
     ckey = (shard, caches.path_fingerprint(shard), map_slug,
-            eps_km, res, group_res)
+            eps_km, res, group_res, _PAIRS_CKPT_VERSION)
     if ckey in _PAIRS_CACHE:
         return _PAIRS_CACHE[ckey]
+    root = os.environ.get(
+        "OSMLINT_CKPT_DIR",
+        os.path.join(tempfile.gettempdir(), "osmlint_ckpt"))
+    out = os.path.join(
+        root, "eps_pairs_" + _hl.md5(repr(ckey).encode()).hexdigest())
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        pairs = rd.read_parquet(out).materialize()
+        _PAIRS_CACHE[ckey] = pairs
+        _PAIRS_CKPT_DIRS.add(out)
+        return pairs
     points = named_ctv_deduped(data_dir, map_slug=map_slug) \
         .map_batches(_to_nodes, batch_format="pyarrow")
     pairs = points.map_batches(
@@ -241,6 +280,15 @@ def mined_eps_pairs(data_dir: str, *, map_slug: str = "serbia_pbf",
             _eps_pairs_group, batch_format="pandas",
             fn_kwargs={"eps_km": eps_km}) \
         .materialize()
+    # an empty mine writes no parquet fragments (read-back would fail);
+    # cache it in-memory only
+    if pairs.count() > 0:
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        pairs.write_parquet(out)
+        open(os.path.join(out, "_SUCCESS"), "w").close()
+        pairs = rd.read_parquet(out).materialize()
+        _PAIRS_CKPT_DIRS.add(out)
     _PAIRS_CACHE[ckey] = pairs
     return pairs
 

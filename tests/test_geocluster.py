@@ -175,3 +175,27 @@ def test_geo_cluster_diameter_brute(result):
         na, nb = min((int(nodes[i]), int(nodes[j])) for i, j in hits)
         assert int(r["osm_id_a"]) * 4 + code[r["entity_type_a"]] == na
         assert int(r["osm_id_b"]) * 4 + code[r["entity_type_b"]] == nb
+
+
+def test_eps_pair_checkpoint_resume(result):
+    """The pair mine checkpoints to fingerprinted parquet: dropping the
+    in-memory cache resumes from disk with the identical pair set, and
+    purge_disk removes the dirs (cold-run contract)."""
+    import os
+    d, _ = result
+    a = geocluster.mined_eps_pairs(d).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(geocluster._PAIRS_CKPT_DIRS) >= 1
+    ckpt = next(iter(geocluster._PAIRS_CKPT_DIRS))
+    assert os.path.exists(os.path.join(ckpt, "_SUCCESS"))
+    geocluster._PAIRS_CACHE.clear()          # simulate process restart
+    b = geocluster.mined_eps_pairs(d).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    import osmlint
+    osmlint.clear_caches(purge_disk=True)
+    assert not os.path.exists(ckpt)
+    # and a cold mine rebuilds the identical set
+    c = geocluster.mined_eps_pairs(d).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
